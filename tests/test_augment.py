@@ -1,0 +1,171 @@
+"""Augmentation tests: box math vs NumPy ports of the reference formulas, pixel
+behaviour on the padded canvas."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cald_tpu.augment import (
+    build_aug_batch, color_adjust, cutout, expand_aug_string, gaussian_noise,
+    horizontal_flip, resize_image_boxes, rotate_image_boxes, salt_pepper_noise,
+)
+
+CANVAS = (64, 64)
+
+
+def make_canvas(rng, h, w):
+    img = np.zeros(CANVAS + (3,), np.float32)
+    img[:h, :w] = rng.uniform(0.05, 1.0, (h, w, 3))
+    return img
+
+
+def test_expand_aug_string():
+    assert expand_aug_string("FCDR") == ["flip", "cut_out", "smaller_resize", "rotation"]
+    assert expand_aug_string("GS") == ["ga", "sp"]
+
+
+def test_flip_boxes_and_pixels(rng):
+    h, w = 40, 50
+    img = make_canvas(rng, h, w)
+    boxes = jnp.asarray([[5.0, 10.0, 20.0, 30.0]])
+    out, nb, hw = horizontal_flip(jnp.asarray(img), boxes, jnp.asarray([h, w]))
+    np.testing.assert_allclose(np.asarray(nb), [[50 - 20, 10, 50 - 5, 30]])
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[:h, :w], img[:h, :w][:, ::-1], rtol=1e-6)
+    np.testing.assert_allclose(out[h:], 0.0)  # padding untouched
+    np.testing.assert_allclose(out[:, w:], 0.0)
+
+
+def test_resize_boxes_and_valid(rng):
+    h, w = 40, 60
+    img = make_canvas(rng, h, w)
+    boxes = jnp.asarray([[10.0, 10.0, 30.0, 20.0]])
+    out, nb, hw = resize_image_boxes(jnp.asarray(img), boxes, jnp.asarray([h, w]), 0.8)
+    np.testing.assert_allclose(np.asarray(nb), [[8, 8, 24, 16]])
+    assert list(np.asarray(hw)) == [32, 48]
+    out = np.asarray(out)
+    assert np.all(out[32:] == 0) and np.all(out[:, 48:] == 0)
+    assert out[:32, :48].std() > 0.01  # content present
+
+
+def np_rotate_boxes(boxes, h, w, angle_deg):
+    """Port of cald_helper.rotate box math (lines 135-223)."""
+    angle = np.radians(angle_deg)
+    alpha, beta = np.cos(angle), np.sin(angle)
+    cx, cy = w / 2, h / 2
+    M = np.array([[alpha, beta, (1 - alpha) * cx - beta * cy],
+                  [-beta, alpha, beta * cx + (1 - alpha) * cy]])
+    nW = int(h * abs(beta) + w * abs(alpha))
+    nH = int(h * abs(alpha) + w * abs(beta))
+    M[0, 2] += nW / 2 - cx
+    M[1, 2] += nH / 2 - cy
+    out = []
+    for x1, y1, x2, y2 in boxes:
+        corners = np.array([[x1, y1, 1], [x2, y1, 1], [x1, y2, 1], [x2, y2, 1]])
+        rot = corners @ M.T
+        nx1, ny1 = rot[:, 0].min(), rot[:, 1].min()
+        nx2, ny2 = rot[:, 0].max(), rot[:, 1].max()
+        sx, sy = nW / w, nH / h
+        out.append([np.clip(nx1 / sx, 0, w), np.clip(ny1 / sy, 0, h),
+                    np.clip(nx2 / sx, 0, w), np.clip(ny2 / sy, 0, h)])
+    return np.array(out)
+
+
+def test_rotate_box_math_matches_reference(rng):
+    h, w = 48, 64
+    img = make_canvas(rng, h, w)
+    boxes = np.array([[5.0, 8.0, 30.0, 28.0], [0.0, 0.0, 64.0, 48.0],
+                      [20.0, 20.0, 25.0, 40.0]], np.float32)
+    out, nb, hw = rotate_image_boxes(jnp.asarray(img), jnp.asarray(boxes),
+                                     jnp.asarray([h, w]), 5.0)
+    want = np_rotate_boxes(boxes, h, w, 5.0)
+    np.testing.assert_allclose(np.asarray(nb), want, rtol=1e-4, atol=1e-3)
+    assert list(np.asarray(hw)) == [h, w]
+    out = np.asarray(out)
+    assert np.all(out[h:] == 0) and np.all(out[:, w:] == 0)
+
+
+def test_rotate_zero_angle_is_identity(rng):
+    h, w = 32, 32
+    img = make_canvas(rng, h, w)
+    boxes = jnp.asarray([[4.0, 4.0, 20.0, 24.0]])
+    out, nb, _ = rotate_image_boxes(jnp.asarray(img), boxes, jnp.asarray([h, w]), 0.0)
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nb), np.asarray(boxes), atol=1e-4)
+
+
+def test_cutout_fills_within_constraints(rng):
+    # Box 12x12 (area 144) vs cut sizes 3-12 px/side: overlap ratios in
+    # [0.1, 0.4] are reachable, so some attempt must be accepted and painted.
+    h, w = 60, 60
+    img = np.ones(CANVAS + (3,), np.float32)
+    img[h:] = 0
+    img[:, w:] = 0
+    boxes = jnp.asarray([[24.0, 24.0, 36.0, 36.0]])
+    valid = jnp.asarray([True])
+    out = cutout(jnp.asarray(img), boxes, valid, jnp.asarray([h, w]),
+                 jax.random.key(1), cut_num=2)
+    out = np.asarray(out)
+    filled = (out[:h, :w] == 0).all(-1)
+    overlap = filled[24:36, 24:36].sum() / 144.0
+    assert filled.mean() > 0.0  # something was cut
+    assert filled.mean() <= (2 * 144) / 3600.0  # at most 2 cuts of <=12x12
+    # every accepted cut respects the per-cut band, so the union with the box
+    # stays under cut_num * remove_thres
+    assert overlap <= 2 * 0.4 + 1e-6
+
+
+def test_cutout_rejects_everything_when_infeasible(rng):
+    # Tiny box: any 5%-20% cut either misses it (<0.1) or swallows it (>0.4) --
+    # overlap ratio in (0.1, 0.4) is impossible for a 1x1 box.
+    h, w = 60, 60
+    img = np.ones(CANVAS + (3,), np.float32)
+    boxes = jnp.asarray([[30.0, 30.0, 31.0, 31.0]])
+    out = cutout(jnp.asarray(img), boxes, jnp.asarray([True]),
+                 jnp.asarray([h, w]), jax.random.key(0), cut_num=2)
+    assert (np.asarray(out)[:h, :w] == 1).all()
+
+
+def test_gaussian_noise_only_valid_region(rng):
+    h, w = 30, 40
+    img = make_canvas(rng, h, w)
+    out = np.asarray(gaussian_noise(jnp.asarray(img), jnp.asarray([h, w]),
+                                    jax.random.key(0), std=16.0))
+    assert np.abs(out[:h, :w] - img[:h, :w]).mean() > 1e-3
+    np.testing.assert_allclose(out[h:], 0.0)
+
+
+def test_salt_pepper_sets_extremes(rng):
+    h, w = 32, 32
+    img = make_canvas(rng, h, w) * 0.5 + 0.25  # values in [0.26, 0.75]
+    out = np.asarray(salt_pepper_noise(jnp.asarray(img), jnp.asarray([h, w]),
+                                       jax.random.key(0), prob=0.2))
+    big, small = img[:h, :w].max(), img[:h, :w].min()
+    changed = out[:h, :w] != img[:h, :w]
+    assert changed.mean() > 0.1
+    assert set(np.unique(out[:h, :w][changed])) <= {np.float32(big), np.float32(small)}
+
+
+def test_color_adjust_factor_one_identity(rng):
+    h, w = 20, 20
+    img = make_canvas(rng, h, w)
+    out = np.asarray(color_adjust(jnp.asarray(img), jnp.asarray([h, w]), 1.0))
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_build_aug_batch_shapes(rng):
+    b, k = 2, 5
+    imgs = jnp.asarray(np.stack([make_canvas(rng, 40, 50), make_canvas(rng, 30, 60)]))
+    boxes = jnp.asarray(rng.uniform(5, 25, (b, k, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].add(10.0)
+    valid = jnp.ones((b, k), bool)
+    hw = jnp.asarray([[40, 50], [30, 60]], jnp.int32)
+    ai, ab, ahw = build_aug_batch(imgs, boxes, valid, hw, jax.random.key(0),
+                                  ["flip", "cut_out", "smaller_resize", "rotation"])
+    assert ai.shape == (b, 4, 64, 64, 3)
+    assert ab.shape == (b, 4, k, 4)
+    assert ahw.shape == (b, 4, 2)
+    # flip twice = identity on boxes
+    np.testing.assert_allclose(np.asarray(ahw[:, 0]), np.asarray(hw))
