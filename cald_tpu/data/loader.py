@@ -1,0 +1,124 @@
+"""Prefetching batch loader: decode on a thread pool, assemble padded batches.
+
+Replaces the reference's torch ``DataLoader(num_workers=4, collate_fn=zip)``
+(/root/reference/cald_train.py:328-336). Decode + resize happen on host worker
+threads (PIL releases the GIL for JPEG decode); batches come out as dense
+``Batch`` pytrees in a deterministic order with a bounded prefetch queue, so the
+device never waits on IO during steady state.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+
+from cald_tpu.data.batching import (
+    Batch, Canvas, choose_canvas, make_padded_batch, resize_scale,
+)
+
+
+def decode_image(path: str) -> np.ndarray:
+    """JPEG/PNG -> (H, W, 3) uint8 RGB."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+class BatchLoader:
+    """Iterates index batches -> padded Batch pytrees with background prefetch.
+
+    Args:
+      dataset: object with ``record(i)`` and ``__len__``.
+      batches: list of same-group index lists (from ``grouped_batch_indices``).
+      canvases: static canvas set; each batch uses the canvas fitting its
+        largest member, so all images in a (same-aspect-group) batch share it.
+      min_size/max_size: reference resize rule parameters.
+      max_boxes: GT slots per image.
+      transform: optional host transform fn(image, boxes, rng) -> (image, boxes)
+        applied before resizing (e.g. random_horizontal_flip).
+      seed: RNG seed for the transform stream (per-epoch determinism).
+    """
+
+    def __init__(self, dataset, batches: Sequence[Sequence[int]], *,
+                 canvases: Sequence[Canvas], min_size: int, max_size: int,
+                 max_boxes: int, transform: Callable | None = None,
+                 num_workers: int = 8, prefetch: int = 4, seed: int = 0):
+        self.dataset = dataset
+        self.batches = [list(b) for b in batches]
+        self.canvases = tuple(canvases)
+        self.min_size = min_size
+        self.max_size = max_size
+        self.max_boxes = max_boxes
+        self.transform = transform
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def _build(self, batch_no: int, indices: list[int]) -> Batch:
+        records = [self.dataset.record(i) for i in indices]
+        images = [decode_image(r.image_path) for r in records]
+        boxes = [r.boxes for r in records]
+        if self.transform is not None:
+            rng = np.random.default_rng((self.seed, batch_no))
+            images, boxes = map(list, zip(*(
+                self.transform(im, bx, rng) for im, bx in zip(images, boxes))))
+        # one canvas per batch: must fit every member's resized shape
+        need_h = need_w = 0
+        for im in images:
+            h, w = im.shape[:2]
+            s = resize_scale(h, w, self.min_size, self.max_size)
+            need_h = max(need_h, int(round(h * s)))
+            need_w = max(need_w, int(round(w * s)))
+        canvas = choose_canvas(need_h, need_w, self.canvases)
+        return make_padded_batch(images, records, canvas,
+                                 min_size=self.min_size, max_size=self.max_size,
+                                 max_boxes=self.max_boxes, indices=indices,
+                                 boxes_override=boxes)
+
+    def __iter__(self) -> Iterable[Batch]:
+        if not self.batches:
+            return
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                futures = [pool.submit(self._build, n, idxs)
+                           for n, idxs in enumerate(self.batches)]
+                for fut in futures:
+                    if stop.is_set():
+                        fut.cancel()
+                        continue
+                    try:
+                        out_q.put(fut.result())
+                    except Exception as e:  # propagate to consumer
+                        out_q.put(e)
+                        return
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.1)
