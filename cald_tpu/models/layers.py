@@ -1,0 +1,47 @@
+"""Shared building blocks: frozen batch norm, conv init conventions."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torchvision conv init for backbones: kaiming_normal(fan_out, relu)
+conv_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+# detection heads use normal(std=0.01)
+head_normal = nn.initializers.normal(stddev=0.01)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with all statistics AND affine params frozen.
+
+    Matches torchvision's ``FrozenBatchNorm2d`` (used throughout detection
+    backbones): y = (x - mean) * scale / sqrt(var + eps) + bias, where every
+    tensor lives in the ``frozen`` variable collection — the optimizer never
+    sees them, exactly like requires_grad=False in the reference.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = self.features
+        scale = self.variable("frozen", "scale", lambda: jnp.ones((f,), jnp.float32))
+        bias = self.variable("frozen", "bias", lambda: jnp.zeros((f,), jnp.float32))
+        mean = self.variable("frozen", "mean", lambda: jnp.zeros((f,), jnp.float32))
+        var = self.variable("frozen", "var", lambda: jnp.ones((f,), jnp.float32))
+        w = scale.value / jnp.sqrt(var.value + self.eps)
+        b = bias.value - mean.value * w
+        return x * w + b
+
+
+def make_norm(kind: str) -> Callable[[int], nn.Module]:
+    """norm factory: 'frozen' (reference default) or 'group' (from-scratch
+    friendly; GN is batch-size independent, good for small detection batches)."""
+    if kind == "frozen":
+        return lambda features: FrozenBatchNorm(features)
+    if kind == "group":
+        return lambda features: nn.GroupNorm(num_groups=min(32, features))
+    raise ValueError(f"unknown norm kind {kind!r}")

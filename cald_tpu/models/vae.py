@@ -1,0 +1,68 @@
+"""VAAL networks (reference vaal/vaal_helper.py:20-143).
+
+VAE: 5-conv encoder to a (1024, 8, 8) volume, fc mu/logvar with z_dim=256,
+mirrored transposed-conv decoder; inputs are 256x256 images scaled to 0..255
+(vaal_helper.py:78-83). Discriminator: z -> 512 -> 512 -> 1 sigmoid MLP.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class VAAL_VAE(nn.Module):
+    z_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, key: jax.Array):
+        """x: (B, 256, 256, 3) in 0..255. Returns (recon, z, mu, logvar)."""
+        mu, logvar = self.encode(x)
+        std = jnp.exp(0.5 * logvar)
+        z = mu + std * jax.random.normal(key, mu.shape)
+        recon = self.decode(z)
+        return recon, z, mu, logvar
+
+    def encode(self, x: jnp.ndarray):
+        widths = (128, 256, 512, 1024, 1024)
+        y = x
+        for i, w in enumerate(widths):
+            y = nn.Conv(w, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                        use_bias=False, name=f"enc{i}")(y)
+            y = nn.GroupNorm(num_groups=32, name=f"enc_norm{i}")(y)
+            y = nn.leaky_relu(y, 0.2)
+        y = y.reshape(y.shape[0], -1)
+        mu = nn.Dense(self.z_dim, name="fc_mu")(y)
+        logvar = nn.Dense(self.z_dim, name="fc_logvar")(y)
+        return mu, logvar
+
+    def decode(self, z: jnp.ndarray):
+        y = nn.Dense(1024 * 8 * 8, name="fc_dec")(z)
+        y = y.reshape(z.shape[0], 8, 8, 1024)
+        widths = (1024, 512, 256, 128, 3)
+        for i, w in enumerate(widths):
+            y = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                                 name=f"dec{i}")(y)
+            if i < len(widths) - 1:
+                y = nn.GroupNorm(num_groups=32, name=f"dec_norm{i}")(y)
+                y = nn.relu(y)
+        return y
+
+
+class VAALDiscriminator(nn.Module):
+    hidden: int = 512
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        y = nn.relu(nn.Dense(self.hidden, name="fc1")(z))
+        y = nn.relu(nn.Dense(self.hidden, name="fc2")(y))
+        return nn.Dense(1, name="out")(y)[:, 0]   # logits; sigmoid at use site
+
+
+def vae_loss(recon, x, mu, logvar, beta: float = 1.0) -> jnp.ndarray:
+    """0.1 * MSE + beta * KLD (vaal_helper.py:171-180; MSE is mean, KLD the
+    standard -0.5 sum(1 + logvar - mu^2 - exp(logvar)) / numel)."""
+    mse = jnp.mean((recon - x) ** 2)
+    kld = -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar)) / mu.size
+    return 0.1 * mse + beta * kld

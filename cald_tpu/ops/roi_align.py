@@ -125,8 +125,17 @@ def multi_scale_roi_align(feats, rois: jnp.ndarray, *, spatial_scales,
     Each level aligns every roi (rois assigned elsewhere contribute via a select);
     with 4 levels this costs 4x the gathers of a perfect scatter but keeps shapes
     static and the kernel trivially fusable.
+
+    The level-mapper range is derived from the scales like torchvision's
+    ``MultiScaleRoIAlign.setup_scales`` (k = -log2(scale)), so single-level and
+    equal-stride pyramids (MobileNetV3) degrade gracefully.
     """
-    levels = fpn_level_assignment(rois, k_min=2, k_max=2 + len(feats) - 1)
+    import math
+
+    k_min = int(round(-math.log2(spatial_scales[0])))
+    k_max = int(round(-math.log2(spatial_scales[-1])))
+    levels = fpn_level_assignment(rois, k_min=k_min, k_max=k_max)
+    levels = jnp.clip(levels, 0, len(feats) - 1)
     out = None
     for i, (feat, scale) in enumerate(zip(feats, spatial_scales)):
         aligned = roi_align(feat, rois, spatial_scale=scale, output_size=output_size,
