@@ -1,0 +1,402 @@
+"""The active-learning cycle driver (re-design of cald_train.py:274-465 and the
+six sibling drivers as one strategy-dispatched loop).
+
+Cycle structure (identical to the reference):
+    for cycle: train on labeled -> eval -> score pool -> select budget ->
+               labeled += selection
+
+All strategies share the training/eval path; scoring+selection dispatches on
+``cfg.strategy``. AL state (pool split, cycle, rng) is checkpointed with the
+model so any cycle boundary is resumable (the reference loses the split,
+SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cald_tpu.cli.config import ALConfig
+from cald_tpu.data import (
+    ALPoolState, BatchLoader, default_canvases, create_aspect_ratio_groups,
+    get_coco, get_voc2007, get_voc2012, grouped_batch_indices,
+)
+from cald_tpu.data.transforms import random_horizontal_flip
+from cald_tpu.engine import (
+    create_train_state, evaluate, make_sgd, make_train_step,
+    multistep_with_warmup, save_checkpoint, train_one_epoch,
+)
+from cald_tpu.engine.evaluate import run_inference
+from cald_tpu.engine.optim import RESNET_FROZEN_L3
+from cald_tpu.models import (
+    FasterRCNN, FasterRCNNConfig, LossNet, RetinaNet, RetinaNetConfig,
+    fasterrcnn_mobilenetv3_fpn_feature, fasterrcnn_resnet50_fpn_feature,
+    retinanet_mobilenet, retinanet_resnet50_fpn_cal,
+)
+from cald_tpu.strategies import (
+    CALDConfig, SSMConfig, cald_select, labeled_class_counts,
+    make_cald_score_fn, make_lsc_score_fn, make_ltc_score_fn, random_select,
+    score_pool, ssm_select, VAALTrainer, vaal_select,
+)
+from cald_tpu.strategies.ll4al import (
+    ll_scores, ll_select, make_ll_score_fn, make_ll_train_step,
+)
+from cald_tpu.strategies.lsc import lsc_scores
+from cald_tpu.strategies.ltc import run_ltc
+from cald_tpu.strategies.ssm import CrossValidator
+from cald_tpu.augment import expand_aug_string
+
+
+def build_datasets(cfg: ALConfig):
+    if cfg.dataset == "voc2007":
+        train = get_voc2007(cfg.data_path, "trainval")
+        test = get_voc2007(cfg.data_path, "test")
+    elif cfg.dataset == "voc2012":
+        train = get_voc2012(cfg.data_path, "trainval")
+        test = get_voc2012(cfg.data_path, "val")
+    elif "coco" in cfg.dataset:
+        train = get_coco(cfg.data_path, "train")
+        test = get_coco(cfg.data_path, "val")
+    else:
+        raise ValueError(f"unknown dataset {cfg.dataset!r}")
+    return train, test
+
+
+def build_model(cfg: ALConfig, num_classes: int):
+    """Returns (model, frozen param-path prefixes)."""
+    kw: dict = dict(norm=cfg.norm)
+    if cfg.tiny:
+        kw.update(backbone="tiny",
+                  rpn_pre_nms_top_n_train=128, rpn_pre_nms_top_n_test=128,
+                  rpn_post_nms_top_n_train=64, rpn_post_nms_top_n_test=64,
+                  rpn_batch_size_per_image=32, box_batch_size_per_image=32,
+                  detections_per_img=16, representation_size=64)
+    frozen = RESNET_FROZEN_L3 if (cfg.norm == "frozen" and not cfg.tiny) else ()
+    if cfg.model == "faster":
+        if cfg.tiny:
+            return FasterRCNN(FasterRCNNConfig(num_classes=num_classes, **kw)), ()
+        return fasterrcnn_resnet50_fpn_feature(num_classes, **kw), frozen
+    if cfg.model == "faster_mobilenet":
+        return fasterrcnn_mobilenetv3_fpn_feature(num_classes, norm=cfg.norm), ()
+    if cfg.model == "retina":
+        if cfg.tiny:
+            return RetinaNet(RetinaNetConfig(
+                num_classes=num_classes, backbone="tiny", norm=cfg.norm,
+                detections_per_img=16, topk_candidates=64,
+                anchor_sizes=((16, 20),) * 5)), ()
+        return retinanet_resnet50_fpn_cal(num_classes, norm=cfg.norm), frozen
+    if cfg.model == "retina_mobilenet":
+        return retinanet_mobilenet(num_classes, norm=cfg.norm), ()
+    raise ValueError(f"unknown model {cfg.model!r}")
+
+
+def _loaders(cfg: ALConfig, dataset, indices, *, batch_size, train: bool,
+             canvases, group_ids, seed=0):
+    rng = np.random.default_rng(seed) if train else None
+    batches = grouped_batch_indices(list(indices), group_ids, batch_size, rng)
+    return BatchLoader(
+        dataset, batches, canvases=canvases, min_size=cfg.min_size,
+        max_size=cfg.max_size, max_boxes=cfg.max_boxes,
+        transform=(lambda im, bx, r: random_horizontal_flip(im, bx, r))
+        if train else None,
+        num_workers=cfg.workers, seed=seed)
+
+
+def train_cycle(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
+                canvases, group_ids, *, cycle: int):
+    """Fresh model + full training schedule on the current labeled set
+    (the reference re-creates the model every cycle, cald_train.py:338-347)."""
+    example = (jnp.zeros((cfg.batch_size, canvases[0].height, canvases[0].width, 3)),
+               jnp.zeros((cfg.batch_size, 2), jnp.int32))
+    loader0 = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
+                       train=True, canvases=canvases, group_ids=group_ids,
+                       seed=cfg.seed + cycle)
+    steps_per_epoch = max(len(loader0), 1)
+    sched = multistep_with_warmup(cfg.lr, steps_per_epoch,
+                                  milestones=cfg.lr_steps, gamma=cfg.lr_gamma,
+                                  warmup_iters=cfg.warmup_iters)
+    state = create_train_state(
+        model, example,
+        lambda params: make_sgd(sched, momentum=cfg.momentum,
+                                weight_decay=cfg.weight_decay, params=params,
+                                frozen_prefixes=frozen_prefixes),
+        seed=cfg.seed)
+    step_fn = make_train_step(model)
+    for epoch in range(cfg.epochs):
+        loader = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
+                          train=True, canvases=canvases, group_ids=group_ids,
+                          seed=cfg.seed + cycle * 1000 + epoch)
+        state, _ = train_one_epoch(
+            state, step_fn, loader, jax.random.fold_in(jax.random.key(cfg.seed), epoch),
+            epoch=epoch, cycle=cycle, print_freq=cfg.print_freq)
+    return state
+
+
+def _detect_host_fn(cfg: ALConfig, model, variables, canvases):
+    """fn(list of (H, W, 3) arrays) -> per-image dicts in original coords —
+    the SSM cross-validator's re-detect hook."""
+    from cald_tpu.data.batching import make_padded_batch
+    from cald_tpu.data.records import ImageRecord
+
+    detect = jax.jit(lambda v, im, hw: model.apply(v, im, hw, method="detect"))
+
+    def run(images):
+        out = []
+        for img in images:
+            rec = ImageRecord(image_id="cv", image_path="", width=img.shape[1],
+                              height=img.shape[0], boxes=np.zeros((0, 4), np.float32),
+                              labels=np.zeros((0,), np.int32),
+                              difficult=np.zeros((0,), np.int32))
+            batch = make_padded_batch([img], [rec], canvases[0],
+                                      min_size=cfg.min_size, max_size=cfg.max_size,
+                                      max_boxes=1, indices=[0])
+            dets = detect(variables, jnp.asarray(batch.images),
+                          jnp.asarray(batch.valid_hw))
+            dets = dets.rescale(jnp.asarray(batch.scale))
+            v = np.asarray(dets.valid[0])
+            out.append({"boxes": np.asarray(dets.boxes[0])[v],
+                        "scores": np.asarray(dets.scores[0])[v],
+                        "labels": np.asarray(dets.labels[0])[v]})
+        return out
+
+    return run
+
+
+def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
+                     canvases, group_ids, *, cycle: int,
+                     strategy_state: dict) -> np.ndarray:
+    """Dispatch on cfg.strategy; returns chosen DATASET indices."""
+    rng = np.random.default_rng(cfg.seed + 100 + cycle)
+    subset = (pool.subsample_pool(cfg.pool_cap, rng) if cfg.pool_cap
+              else pool.unlabeled.copy())
+    budget = cfg.budget_num
+    key = jax.random.fold_in(jax.random.key(cfg.seed + 17), cycle)
+    variables = state.variables
+
+    def pool_loader():
+        return _loaders(cfg, dataset, subset, batch_size=cfg.score_batch_size,
+                        train=False, canvases=canvases, group_ids=group_ids)
+
+    if cfg.strategy == "random":
+        return subset[random_select(len(subset), budget, rng)]
+
+    if cfg.strategy == "cald":
+        ccfg = CALDConfig(aug_names=tuple(expand_aug_string(cfg.augs)),
+                          base_point=cfg.bp, mutual_range=cfg.mr,
+                          uniform=cfg.uniform, no_mutual=cfg.no_mutual)
+        score_fn = strategy_state.setdefault(
+            "cald_fn", make_cald_score_fn(model, ccfg, cfg.num_classes))
+        consistency, corrs = score_pool(score_fn, variables, pool_loader(), key,
+                                        subset)
+        labeled_mean = labeled_class_counts(dataset, pool.labeled,
+                                            cfg.num_classes - 1)
+        picked = cald_select(consistency, corrs, labeled_mean, budget, ccfg)
+        return subset[picked]
+
+    if cfg.strategy == "ltc":
+        fn = strategy_state.setdefault("ltc_fn", make_ltc_score_fn(model))
+        u = run_ltc(fn, variables, pool_loader(), subset)
+        return subset[np.argsort(u, kind="stable")[:budget]]
+
+    if cfg.strategy == "lsc":
+        fn = strategy_state.setdefault("lsc_fn", make_lsc_score_fn(model))
+        s = lsc_scores(fn, variables, pool_loader(), key, subset)
+        return subset[np.argsort(s, kind="stable")[:budget]]
+
+    if cfg.strategy == "ll4al":
+        lossnet = strategy_state["lossnet"]
+        ll_params = strategy_state["ll_state"].params
+        fn = strategy_state.setdefault("ll_fn", make_ll_score_fn(model, lossnet))
+        pred = ll_scores(fn, variables, ll_params, pool_loader(), subset)
+        return subset[ll_select(pred, budget)]
+
+    if cfg.strategy == "vaal":
+        trainer: VAALTrainer = strategy_state["vaal"]
+        scores = np.zeros(len(subset))
+        pos = {int(i): p for p, i in enumerate(subset)}
+        for bi, batch in enumerate(pool_loader()):
+            s = trainer.unlabeled_scores(jnp.asarray(batch.images),
+                                         jax.random.fold_in(key, bi))
+            for i, idx in enumerate(batch.image_idx):
+                scores[pos[int(idx)]] = s[i]
+        return subset[vaal_select(scores, budget)]
+
+    if cfg.strategy == "ssm":
+        scfg: SSMConfig = strategy_state.setdefault("ssm_cfg", SSMConfig())
+        gamma = strategy_state.setdefault("gamma", scfg.gamma)
+        clslambda = strategy_state.setdefault(
+            "clslambda", np.full(cfg.num_classes - 1, np.log(2.0)))
+        by_idx = _ssm_pool_detections(model, variables, pool_loader(), scfg)
+        pool_dets = [by_idx[int(idx)] for idx in subset]
+        from cald_tpu.data.loader import decode_image
+
+        def patch_getter(pos_i, box):
+            rec = dataset.record(int(subset[pos_i]))
+            img = decode_image(rec.image_path).astype(np.float32)
+            x1, y1, x2, y2 = (int(max(0, box[0])), int(max(0, box[1])),
+                              int(min(img.shape[1], box[2])),
+                              int(min(img.shape[0], box[3])))
+            if x2 <= x1 or y2 <= y1:
+                return None
+            return img[y1:y2, x1:x2]
+
+        cv = CrossValidator(dataset, _detect_host_fn(cfg, model, variables,
+                                                     canvases), scfg, rng)
+        chosen, gamma, clslambda = ssm_select(
+            pool_dets, np.arange(len(subset)), budget, gamma=gamma,
+            clslambda=clslambda, cross_validator=cv,
+            labeled_indices=pool.labeled, rng=rng, patch_getter=patch_getter)
+        strategy_state["gamma"] = gamma
+        strategy_state["clslambda"] = clslambda
+        return subset[chosen]
+
+    raise ValueError(f"unknown strategy {cfg.strategy!r}")
+
+
+def _ssm_pool_detections(model, variables, loader, scfg) -> dict[int, dict]:
+    """One batched pass over the pool collecting the SSM per-image inputs:
+    boxes (original coords), fg score rows, and the al low-confidence flag
+    (frcnn_ssm.py:60,71-74)."""
+    detect = jax.jit(lambda v, im, hw: model.apply(v, im, hw, method="detect"))
+    out: dict[int, dict] = {}
+    for batch in loader:
+        dets = detect(variables, jnp.asarray(batch.images),
+                      jnp.asarray(batch.valid_hw))
+        dets = dets.rescale(jnp.asarray(batch.scale))
+        boxes = np.asarray(dets.boxes)
+        rows = np.asarray(dets.scores_cls)
+        scores = np.asarray(dets.scores)
+        valid = np.asarray(dets.valid)
+        for i, idx in enumerate(batch.image_idx):
+            m = valid[i]
+            out[int(idx)] = {
+                "boxes": boxes[i][m],
+                "score_rows": rows[i][m][:, 1:],   # drop background column
+                "al": bool(m.sum() == 0 or scores[i][m].max() < scfg.conf_thresh),
+            }
+    return out
+
+
+def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
+    """Run the full AL experiment; returns per-cycle result dicts."""
+    cfg = cfg.resolve()
+    train_ds, test_ds = datasets if datasets is not None else build_datasets(cfg)
+    num_classes = len(train_ds.class_names)
+    canvases = default_canvases(cfg.min_size, cfg.max_size)
+    group_ids = create_aspect_ratio_groups(train_ds.aspect_ratios(),
+                                           cfg.aspect_ratio_group_factor)
+    test_group_ids = create_aspect_ratio_groups(test_ds.aspect_ratios(),
+                                                cfg.aspect_ratio_group_factor)
+
+    model, frozen_prefixes = build_model(cfg, num_classes)
+    pool = ALPoolState.initial(len(train_ds), cfg.init_num, cfg.seed)
+    strategy_state: dict = {}
+    if cfg.strategy == "ll4al":
+        strategy_state["lossnet"] = LossNet(num_levels=4)
+    history = []
+
+    for cycle in range(cfg.cycles):
+        t0 = time.time()
+        print(f"=== cycle {cycle}: labeled {len(pool.labeled)}, "
+              f"unlabeled {len(pool.unlabeled)} ===")
+        if cfg.strategy == "ll4al":
+            state, strategy_state["ll_state"] = _train_cycle_ll4al(
+                cfg, model, frozen_prefixes, strategy_state["lossnet"],
+                train_ds, pool, canvases, group_ids, cycle=cycle)
+        else:
+            state = train_cycle(cfg, model, frozen_prefixes, train_ds, pool,
+                                canvases, group_ids, cycle=cycle)
+        if cfg.strategy == "vaal":
+            strategy_state["vaal"] = _train_vaal(cfg, train_ds, pool, canvases,
+                                                 group_ids, cycle)
+
+        stats = {}
+        if cfg.eval_every_cycle:
+            test_loader = _loaders(cfg, test_ds, range(len(test_ds)),
+                                   batch_size=cfg.score_batch_size, train=False,
+                                   canvases=canvases, group_ids=test_group_ids)
+            stats = evaluate(model, state.variables, test_loader, test_ds,
+                             kind=cfg.eval_kind)
+
+        if cfg.output_dir:
+            save_checkpoint(os.path.join(cfg.output_dir, f"cycle_{cycle}"),
+                            state, pool=pool, rng=jax.random.key(cfg.seed),
+                            meta={"cycle": cycle})
+
+        if cycle < cfg.cycles - 1:
+            chosen = score_and_select(cfg, model, state, train_ds, pool,
+                                      canvases, group_ids, cycle=cycle,
+                                      strategy_state=strategy_state)
+            pool = pool.select(np.asarray(chosen))
+        history.append({"cycle": cycle, "labeled": int(len(pool.labeled)),
+                        "eval": stats, "time_s": time.time() - t0})
+    return history
+
+
+def _train_cycle_ll4al(cfg, model, frozen_prefixes, lossnet, dataset, pool,
+                       canvases, group_ids, *, cycle: int):
+    """Joint detector+LossNet training (ll_train.py:55-133)."""
+    from cald_tpu.engine.state import TrainState
+
+    example = (jnp.zeros((cfg.batch_size, canvases[0].height, canvases[0].width, 3)),
+               jnp.zeros((cfg.batch_size, 2), jnp.int32))
+    loader0 = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
+                       train=True, canvases=canvases, group_ids=group_ids)
+    sched = multistep_with_warmup(cfg.lr, max(len(loader0), 1),
+                                  milestones=cfg.lr_steps, gamma=cfg.lr_gamma,
+                                  warmup_iters=cfg.warmup_iters)
+    task_state = create_train_state(
+        model, example,
+        lambda p: make_sgd(sched, momentum=cfg.momentum,
+                           weight_decay=cfg.weight_decay, params=p,
+                           frozen_prefixes=frozen_prefixes), seed=cfg.seed)
+    # LossNet params need example features
+    feats = jax.eval_shape(
+        lambda v: model.apply(v, *example, method="extract_features"),
+        task_state.variables)
+    dummy_feats = [jnp.zeros(f.shape, f.dtype) for f in feats[:4]]
+    ll_params = jax.jit(lossnet.init)(jax.random.key(cfg.seed + 1), dummy_feats)["params"]
+    ll_tx = make_sgd(sched, momentum=cfg.momentum, weight_decay=cfg.weight_decay)
+    ll_state = TrainState(step=jnp.zeros((), jnp.int32), params=ll_params,
+                          frozen={}, opt_state=ll_tx.init(ll_params), tx=ll_tx)
+
+    step = make_ll_train_step(model, lossnet, ll_weight=cfg.ll_weight)
+    for epoch in range(cfg.epochs):
+        loader = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
+                          train=True, canvases=canvases, group_ids=group_ids,
+                          seed=cfg.seed + cycle * 1000 + epoch)
+        detach = epoch >= cfg.task_epochs
+        for bi, batch in enumerate(loader):
+            rng = jax.random.fold_in(jax.random.key(cfg.seed + 3),
+                                     int(task_state.step))
+            task_state, ll_state, metrics = step(
+                task_state, ll_state, jnp.asarray(batch.images),
+                jnp.asarray(batch.valid_hw), jnp.asarray(batch.boxes),
+                jnp.asarray(batch.labels), jnp.asarray(batch.box_valid), rng,
+                detach_features=detach)
+        print(f"ll4al cycle {cycle} epoch {epoch}: "
+              f"loss {float(metrics['loss']):.4f}")
+    return task_state, ll_state
+
+
+def _train_vaal(cfg, dataset, pool, canvases, group_ids, cycle,
+                *, epochs: int = 1):
+    """VAE+D training over labeled/unlabeled batches (vaal_train.py:99-148)."""
+    trainer = VAALTrainer(seed=cfg.seed + cycle)
+    key = jax.random.key(cfg.seed + 31)
+    lab_loader = _loaders(cfg, dataset, pool.labeled,
+                          batch_size=cfg.score_batch_size, train=False,
+                          canvases=canvases, group_ids=group_ids)
+    unlab_loader = _loaders(cfg, dataset, pool.unlabeled,
+                            batch_size=cfg.score_batch_size, train=False,
+                            canvases=canvases, group_ids=group_ids)
+    for e in range(epochs):
+        for bi, (lb, ub) in enumerate(zip(lab_loader, unlab_loader)):
+            trainer.train_step(lb.images, ub.images,
+                               jax.random.fold_in(key, e * 10000 + bi))
+    return trainer

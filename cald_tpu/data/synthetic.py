@@ -14,9 +14,12 @@ import numpy as np
 
 
 def make_voc(root, num_images=6, size_range=((40, 80), (40, 80)), classes=None,
-             max_objects=3, seed=0, year="2007", image_set="trainval"):
+             max_objects=3, seed=0, year="2007", image_set="trainval",
+             extra_image_sets=("test", "val")):
     """Write a tiny VOCdevkit tree with random JPEG images + XML annotations.
 
+    The full id list is written to ``image_set`` and (for driver smoke runs
+    that want a test split) to each name in ``extra_image_sets``.
     Returns the devkit root (containing VOC{year}/).
     """
     from PIL import Image
@@ -54,8 +57,9 @@ def make_voc(root, num_images=6, size_range=((40, 80), (40, 80)), classes=None,
         with open(os.path.join(voc, "Annotations", img_id + ".xml"), "w") as f:
             f.write(xml)
 
-    with open(os.path.join(voc, "ImageSets", "Main", image_set + ".txt"), "w") as f:
-        f.write("\n".join(ids) + "\n")
+    for name in (image_set,) + tuple(extra_image_sets):
+        with open(os.path.join(voc, "ImageSets", "Main", name + ".txt"), "w") as f:
+            f.write("\n".join(ids) + "\n")
     return str(root)
 
 

@@ -117,6 +117,11 @@ class FasterRCNN(nn.Module):
         feats = self.backbone(x)
         return self.fpn([feats[k] for k in self._feat_keys])
 
+    def extract_features(self, images: jnp.ndarray) -> list[jnp.ndarray]:
+        """FPN pyramid only (the reference forward returns ``features`` in every
+        result dict, frcnn_la.py:126-142; used by LossNet scoring)."""
+        return self._features(images)
+
     def _anchors(self, pyramid: Sequence[jnp.ndarray]):
         cfg = self.cfg
         shapes = [(f.shape[1], f.shape[2]) for f in pyramid]

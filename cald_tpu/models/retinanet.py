@@ -227,6 +227,11 @@ class RetinaNet(nn.Module):
             return [self.reduce(maps[-1])]
         return self.fpn(maps)
 
+    def extract_features(self, images):
+        """Pyramid only (LossNet input; reference retina_ll.py forward returns
+        (features, outputs))."""
+        return self._features(images)
+
     def _anchors(self, pyramid):
         cfg = self.cfg
         shapes = [(f.shape[1], f.shape[2]) for f in pyramid]

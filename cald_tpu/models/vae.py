@@ -14,6 +14,8 @@ from flax import linen as nn
 
 class VAAL_VAE(nn.Module):
     z_dim: int = 256
+    base_width: int = 128   # reference widths 128..1024; shrink for CPU tests
+    start_hw: int = 8       # decoder seed resolution = image_size / 32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, key: jax.Array):
@@ -25,12 +27,13 @@ class VAAL_VAE(nn.Module):
         return recon, z, mu, logvar
 
     def encode(self, x: jnp.ndarray):
-        widths = (128, 256, 512, 1024, 1024)
+        b = self.base_width
+        widths = (b, 2 * b, 4 * b, 8 * b, 8 * b)
         y = x
         for i, w in enumerate(widths):
             y = nn.Conv(w, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         use_bias=False, name=f"enc{i}")(y)
-            y = nn.GroupNorm(num_groups=32, name=f"enc_norm{i}")(y)
+            y = nn.GroupNorm(num_groups=min(32, w), name=f"enc_norm{i}")(y)
             y = nn.leaky_relu(y, 0.2)
         y = y.reshape(y.shape[0], -1)
         mu = nn.Dense(self.z_dim, name="fc_mu")(y)
@@ -38,14 +41,16 @@ class VAAL_VAE(nn.Module):
         return mu, logvar
 
     def decode(self, z: jnp.ndarray):
-        y = nn.Dense(1024 * 8 * 8, name="fc_dec")(z)
-        y = y.reshape(z.shape[0], 8, 8, 1024)
-        widths = (1024, 512, 256, 128, 3)
+        b = self.base_width
+        s = self.start_hw
+        y = nn.Dense(8 * b * s * s, name="fc_dec")(z)
+        y = y.reshape(z.shape[0], s, s, 8 * b)
+        widths = (8 * b, 4 * b, 2 * b, b, 3)
         for i, w in enumerate(widths):
             y = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
                                  name=f"dec{i}")(y)
             if i < len(widths) - 1:
-                y = nn.GroupNorm(num_groups=32, name=f"dec_norm{i}")(y)
+                y = nn.GroupNorm(num_groups=min(32, w), name=f"dec_norm{i}")(y)
                 y = nn.relu(y)
         return y
 

@@ -11,6 +11,7 @@ from cald_tpu.ops.boxes import (
     decode_boxes,
     encode_boxes,
     intersect,
+    iou_one_vs_many,
     pairwise_iou_nocheck,
     remove_small_boxes_mask,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "decode_boxes",
     "encode_boxes",
     "intersect",
+    "iou_one_vs_many",
     "pairwise_iou_nocheck",
     "remove_small_boxes_mask",
     "nms",

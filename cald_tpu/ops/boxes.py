@@ -34,11 +34,29 @@ def intersect(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """All-pairs intersection areas, clamped at zero.
 
     boxes1: (..., N, 4), boxes2: (..., M, 4) -> (..., N, M).
+
+    Width and height are computed as separate (..., N, M) arrays — never as a
+    stacked (..., N, M, 2): a trailing dim of 2 forces XLA to pad the tile
+    lanes 2 -> 128 (64x memory) when N, M are large (anchors/NMS candidates).
     """
-    lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
-    rb = jnp.minimum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
-    wh = jnp.clip(rb - lt, 0.0)
-    return wh[..., 0] * wh[..., 1]
+    w = jnp.clip(jnp.minimum(boxes1[..., :, None, 2], boxes2[..., None, :, 2])
+                 - jnp.maximum(boxes1[..., :, None, 0], boxes2[..., None, :, 0]), 0.0)
+    h = jnp.clip(jnp.minimum(boxes1[..., :, None, 3], boxes2[..., None, :, 3])
+                 - jnp.maximum(boxes1[..., :, None, 1], boxes2[..., None, :, 1]), 0.0)
+    return w * h
+
+
+def iou_one_vs_many(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """IoU of a single box (..., 4) against (..., M, 4) -> (..., M),
+    torchvision (clamped) semantics. O(M) memory — the NMS inner loop."""
+    b = box[..., None, :]
+    w = jnp.clip(jnp.minimum(b[..., 2], boxes[..., 2])
+                 - jnp.maximum(b[..., 0], boxes[..., 0]), 0.0)
+    h = jnp.clip(jnp.minimum(b[..., 3], boxes[..., 3])
+                 - jnp.maximum(b[..., 1], boxes[..., 1]), 0.0)
+    inter = w * h
+    union = area(b) + area(boxes) - inter
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
 
 
 def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:

@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bilinear_sample(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
@@ -122,9 +123,11 @@ def multi_scale_roi_align(feats, rois: jnp.ndarray, *, spatial_scales,
     list of floats (e.g. 1/4, 1/8, 1/16, 1/32). rois: (N, 4).
     Returns (N, output_size, output_size, C).
 
-    Each level aligns every roi (rois assigned elsewhere contribute via a select);
-    with 4 levels this costs 4x the gathers of a perfect scatter but keeps shapes
-    static and the kernel trivially fusable.
+    TPU formulation: the whole pyramid is flattened into one (sum H_l*W_l, C)
+    buffer and every roi gathers ONLY at its assigned level through per-roi
+    level offsets — one gather pass instead of aligning each roi at all levels
+    (4x less gather traffic than the masked-sum formulation; RoIAlign is the
+    detect path's dominant cost).
 
     The level-mapper range is derived from the scales like torchvision's
     ``MultiScaleRoIAlign.setup_scales`` (k = -log2(scale)), so single-level and
@@ -134,12 +137,55 @@ def multi_scale_roi_align(feats, rois: jnp.ndarray, *, spatial_scales,
 
     k_min = int(round(-math.log2(spatial_scales[0])))
     k_max = int(round(-math.log2(spatial_scales[-1])))
-    levels = fpn_level_assignment(rois, k_min=k_min, k_max=k_max)
-    levels = jnp.clip(levels, 0, len(feats) - 1)
-    out = None
-    for i, (feat, scale) in enumerate(zip(feats, spatial_scales)):
-        aligned = roi_align(feat, rois, spatial_scale=scale, output_size=output_size,
-                            sampling_ratio=sampling_ratio, chunk_size=chunk_size)
-        mask = (levels == i).astype(aligned.dtype)[:, None, None, None]
-        out = aligned * mask if out is None else out + aligned * mask
-    return out
+    levels = jnp.clip(fpn_level_assignment(rois, k_min=k_min, k_max=k_max),
+                      0, len(feats) - 1)                                # (R,)
+
+    c = feats[0].shape[-1]
+    hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)
+    ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
+    sizes = [f.shape[0] * f.shape[1] for f in feats]
+    offs = jnp.asarray(np.cumsum([0] + sizes[:-1]), jnp.int32)
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)  # (P, C)
+    scales = jnp.asarray(list(spatial_scales), jnp.float32)
+
+    r = rois.shape[0]
+    s = output_size * sampling_ratio
+    scale = scales[levels]                                             # (R,)
+    h_l = hs[levels]
+    w_l = ws[levels]
+    off = offs[levels]
+
+    x1 = rois[:, 0] * scale
+    y1 = rois[:, 1] * scale
+    roi_w = jnp.maximum(rois[:, 2] * scale - x1, 1.0)
+    roi_h = jnp.maximum(rois[:, 3] * scale - y1, 1.0)
+    steps = (jnp.arange(s, dtype=flat.dtype) + 0.5) / sampling_ratio
+    ys = y1[:, None] + steps[None] * (roi_h / output_size)[:, None]    # (R, S)
+    xs = x1[:, None] + steps[None] * (roi_w / output_size)[:, None]
+
+    in_y = (ys >= -1.0) & (ys <= h_l[:, None])
+    in_x = (xs >= -1.0) & (xs <= w_l[:, None])
+    y = jnp.clip(ys, 0.0, h_l[:, None] - 1.0)
+    x = jnp.clip(xs, 0.0, w_l[:, None] - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, (h_l[:, None] - 1.0).astype(jnp.int32))
+    x1i = jnp.minimum(x0 + 1, (w_l[:, None] - 1.0).astype(jnp.int32))
+    ly = (y - y0)[:, :, None]                                          # (R, S, 1)
+    lx = (x - x0)[:, None, :]                                          # (R, 1, S)
+    hy, hx = 1.0 - ly, 1.0 - lx
+
+    w_i = w_l.astype(jnp.int32)
+
+    def take(yi, xi):                                                  # -> (R,S,S,C)
+        idx = off[:, None, None] + yi[:, :, None] * w_i[:, None, None] + xi[:, None, :]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, s, s, c)
+
+    out = ((hy * hx)[..., None] * take(y0, x0)
+           + (hy * lx)[..., None] * take(y0, x1i)
+           + (ly * hx)[..., None] * take(y1i, x0)
+           + (ly * lx)[..., None] * take(y1i, x1i))
+    inside = (in_y[:, :, None] & in_x[:, None, :])[..., None]
+    out = jnp.where(inside, out, 0.0)
+    return out.reshape(r, output_size, sampling_ratio, output_size,
+                       sampling_ratio, c).mean(axis=(2, 4))

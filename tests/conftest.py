@@ -1,7 +1,16 @@
-"""Test configuration: force an 8-device virtual CPU platform BEFORE jax imports.
+"""Test configuration.
 
-Tests must be deterministic and run without TPU hardware; multi-chip sharding is
-exercised on the virtual CPU mesh (the pattern the reference lacks — SURVEY.md §4).
+Platform: this image's axon sitecustomize force-registers the single TPU chip
+at interpreter start (PALLAS_AXON_POOL_IPS), so in-process JAX_PLATFORMS
+overrides cannot win. Tests are platform-agnostic; multi-device sharding tests
+skip when fewer than 8 devices are visible. To run them on the virtual CPU
+mesh use:
+
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 python -m pytest tests/
+
+(the flags below still request the 8-device CPU topology for environments
+without the axon plugin, e.g. CI containers).
 """
 
 import os

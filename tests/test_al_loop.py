@@ -1,0 +1,77 @@
+"""End-to-end AL loop integration tests on synthetic VOC (tiny model, CPU).
+
+This is the mini end-to-end slice from SURVEY.md §7 / BASELINE.json configs[0]:
+one-to-two CALD cycles, CPU-runnable, exercising train -> eval -> score ->
+select -> relabel through the real driver.
+"""
+
+import numpy as np
+import pytest
+
+from cald_tpu.cli.config import ALConfig, build_config_from_args
+from cald_tpu.cli.driver import al_loop, build_datasets
+from cald_tpu.data import get_voc2007
+from tests.fixtures import make_voc
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    return make_voc(tmp_path_factory.mktemp("voc_al"), num_images=12,
+                    size_range=((60, 90), (60, 90)))
+
+
+def mini_cfg(voc_root, **kw) -> ALConfig:
+    base = dict(
+        dataset="voc2007", data_path=voc_root, model="faster", strategy="cald",
+        tiny=True, norm="group", cycles=2, epochs=1, batch_size=2,
+        init_num=4, budget_num=3, score_batch_size=2, workers=2,
+        min_size=96, max_size=128, max_boxes=8, print_freq=100,
+        aspect_ratio_group_factor=0, eval_every_cycle=True)
+    base.update(kw)
+    return ALConfig(**base).resolve()
+
+
+class TestConfig:
+    def test_reference_defaults(self):
+        cfg = ALConfig(dataset="voc2012", model="faster").resolve()
+        assert (cfg.init_num, cfg.budget_num) == (500, 500)
+        assert (cfg.min_size, cfg.max_size) == (600, 1000)
+        cfg = ALConfig(dataset="voc2012", model="retina").resolve()
+        assert cfg.init_num == 1000
+        cfg = ALConfig(dataset="coco").resolve()
+        assert (cfg.init_num, cfg.budget_num, cfg.pool_cap) == (5000, 1000, 10000)
+        assert (cfg.min_size, cfg.max_size) == (800, 1333)
+        cfg = ALConfig(dataset="voc2007", strategy="random").resolve()
+        assert (cfg.init_num, cfg.budget_num) == (1000, 1000)
+
+    def test_parser_reference_flags(self):
+        cfg = build_config_from_args(
+            ["--dataset", "voc2012", "--model", "retina", "--augs", "FC",
+             "-bp", "1.25", "-mr", "1.5", "--no-mutual", "--cycles", "3"])
+        assert cfg.bp == 1.25 and cfg.mr == 1.5 and cfg.no_mutual
+        assert cfg.cycles == 3 and cfg.augs == "FC"
+
+
+@pytest.mark.slow
+class TestALLoop:
+    def test_cald_two_cycles(self, voc_root):
+        cfg = mini_cfg(voc_root)
+        ds = get_voc2007(voc_root, "trainval")
+        history = al_loop(cfg, datasets=(ds, ds))
+        assert len(history) == 2
+        # budget images were added after cycle 0
+        assert history[0]["labeled"] == 4 + 3
+        assert "mAP" in history[0]["eval"]
+
+    def test_random_strategy(self, voc_root):
+        cfg = mini_cfg(voc_root, strategy="random", init_num=4, budget_num=3,
+                       eval_every_cycle=False)
+        ds = get_voc2007(voc_root, "trainval")
+        history = al_loop(cfg, datasets=(ds, ds))
+        assert history[0]["labeled"] == 7
+
+    def test_ltc_strategy(self, voc_root):
+        cfg = mini_cfg(voc_root, strategy="ltc", eval_every_cycle=False)
+        ds = get_voc2007(voc_root, "trainval")
+        history = al_loop(cfg, datasets=(ds, ds))
+        assert history[0]["labeled"] == 7
