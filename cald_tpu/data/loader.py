@@ -22,7 +22,18 @@ from cald_tpu.data.batching import (
 
 
 def decode_image(path: str) -> np.ndarray:
-    """JPEG/PNG -> (H, W, 3) uint8 RGB."""
+    """JPEG/PNG -> (H, W, 3) uint8 RGB.
+
+    Uses the native C++ decoder (cald_tpu.native, GIL-released) when built;
+    falls back to PIL (also used for non-JPEG formats)."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from cald_tpu import native
+
+        if native.available():
+            try:
+                return native.decode(path)
+            except IOError:
+                pass  # corrupt header etc: fall through to PIL
     from PIL import Image
 
     with Image.open(path) as im:
@@ -64,6 +75,9 @@ class BatchLoader:
 
     def _build(self, batch_no: int, indices: list[int]) -> Batch:
         records = [self.dataset.record(i) for i in indices]
+        fast = self._build_native(indices, records)
+        if fast is not None:
+            return fast
         images = [decode_image(r.image_path) for r in records]
         boxes = [r.boxes for r in records]
         if self.transform is not None:
@@ -82,6 +96,54 @@ class BatchLoader:
                                  min_size=self.min_size, max_size=self.max_size,
                                  max_boxes=self.max_boxes, indices=indices,
                                  boxes_override=boxes)
+
+    def _build_native(self, indices: list[int], records) -> Batch | None:
+        """Fast path: decode + resize + canvas paste fused in C++ (one pass, no
+        uint8->PIL->float round trips). Only when no host transform is set and
+        every member is a JPEG."""
+        if self.transform is not None:
+            return None
+        from cald_tpu import native
+
+        if not native.available():
+            return None
+        if not all(r.image_path.lower().endswith((".jpg", ".jpeg"))
+                   for r in records):
+            return None
+
+        b = len(records)
+        # canvas from the records' stored sizes (no decode needed)
+        need_h = need_w = 0
+        scales = []
+        for r in records:
+            s = resize_scale(r.height, r.width, self.min_size, self.max_size)
+            scales.append(s)
+            need_h = max(need_h, int(round(r.height * s)))
+            need_w = max(need_w, int(round(r.width * s)))
+        canvas = choose_canvas(need_h, need_w, self.canvases)
+
+        images = np.zeros((b, canvas.height, canvas.width, 3), np.float32)
+        valid_hw = np.zeros((b, 2), np.int32)
+        out_scale = np.zeros((b,), np.float32)
+        boxes = np.zeros((b, self.max_boxes, 4), np.float32)
+        labels = np.zeros((b, self.max_boxes), np.int32)
+        box_valid = np.zeros((b, self.max_boxes), bool)
+        try:
+            for i, (r, s) in enumerate(zip(records, scales)):
+                s = min(s, canvas.height / r.height, canvas.width / r.width)
+                rh, rw = native.decode_resize_into(r.image_path, images[i], s)
+                valid_hw[i] = (rh, rw)
+                out_scale[i] = s
+                n = min(len(r.boxes), self.max_boxes)
+                if n:
+                    boxes[i, :n] = r.boxes[:n] * s
+                    labels[i, :n] = r.labels[:n]
+                    box_valid[i, :n] = True
+        except IOError:
+            return None  # corrupt file: let the PIL path raise properly
+        return Batch(images=images, valid_hw=valid_hw, scale=out_scale,
+                     boxes=boxes, labels=labels, box_valid=box_valid,
+                     image_idx=np.asarray(indices, np.int32))
 
     def __iter__(self) -> Iterable[Batch]:
         if not self.batches:
