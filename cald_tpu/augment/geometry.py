@@ -2,9 +2,20 @@
 
 Images are NHWC float arrays on a fixed canvas ``(H, W, 3)`` whose top-left
 ``(h, w)`` region is valid (the rest is zero padding, torchvision-batch style).
-Augmentations therefore transform both the pixels (via inverse-affine bilinear
-gathers — static shapes, fully jittable) and the valid size, and map reference
+Augmentations transform both the pixels and the valid size, and map reference
 boxes with exactly the coordinate math of /root/reference/cald/cald_helper.py.
+
+TPU formulation: per-pixel bilinear gathers on (H, W, 3) images waste ~40x of
+gather bandwidth (3 floats per 128-lane vector) and dominated the CALD scoring
+program. Resize and rotation are therefore SEPARABLE here:
+  - axis scaling = a banded interpolation matrix on the MXU (one matmul per
+    axis),
+  - per-row/column fractional translation (the shear component of rotation) =
+    two contiguous dynamic slices + a lerp.
+Rotation decomposes as scale+translate along x then along y (Catmull-Smith
+two-pass); pixels interpolate twice (1-D each pass) instead of once (2-D), a
+documented deviation from PIL's direct bilinear — box math is unchanged and
+exact.
 
 All functions take and return ``(image, boxes, valid_hw)`` where valid_hw is an
 int32 (2,) array (h, w).
@@ -14,7 +25,10 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
+
+_SHEAR_PAD = 128   # max |fractional translate| supported by the padded slices
 
 
 def _grid(canvas_hw):
@@ -60,29 +74,102 @@ def horizontal_flip(image: jnp.ndarray, boxes: jnp.ndarray, valid_hw):
     return flipped, new_boxes, valid_hw
 
 
+def _interp_matrix(canvas_out: int, n_out, n_in, canvas_in: int,
+                   pil_centers: bool = True) -> jnp.ndarray:
+    """(canvas_out, canvas_in) banded 1-D bilinear interpolation matrix.
+
+    Row i holds the two weights sampling source position
+      (i + 0.5) * n_in/n_out - 0.5   (PIL pixel-center convention), or
+      i * n_in/n_out                 (direct coordinate scaling).
+    Rows >= n_out and columns >= n_in are zero. n_out/n_in may be traced.
+    """
+    i = jnp.arange(canvas_out, dtype=jnp.float32)
+    n_in = jnp.asarray(n_in, jnp.float32)
+    n_out_f = jnp.maximum(jnp.asarray(n_out, jnp.float32), 1.0)
+    if pil_centers:
+        src = (i + 0.5) * (n_in / n_out_f) - 0.5
+    else:
+        src = i * (n_in / n_out_f)
+    src = jnp.clip(src, 0.0, n_in - 1.0)
+    lo = jnp.clip(jnp.floor(src), 0.0, jnp.maximum(n_in - 2.0, 0.0))
+    frac = src - lo
+    cols = jnp.arange(canvas_in, dtype=jnp.float32)[None, :]
+    m = (jnp.where(cols == lo[:, None], 1.0 - frac[:, None], 0.0)
+         + jnp.where(cols == lo[:, None] + 1.0, frac[:, None], 0.0))
+    m = jnp.where((jnp.arange(canvas_out) < n_out)[:, None], m, 0.0)
+    return jnp.where(cols < n_in, m, 0.0)
+
+
+def _scale_rows(image: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Apply a (H_out, H_in) interpolation matrix along axis 0 (one matmul)."""
+    h, w, c = image.shape
+    out = m @ image.reshape(h, w * c)
+    return out.reshape(m.shape[0], w, c)
+
+
+def _translate_rows(image: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
+    """out[v, x] = image[v, x + shifts[v]] with zeros outside — the shear
+    component: per-row fractional translation as two contiguous slices + lerp."""
+    h, w, c = image.shape
+    pad = _SHEAR_PAD
+    padded = jnp.pad(image, ((0, 0), (pad, pad), (0, 0)))
+    k = jnp.clip(jnp.floor(shifts), -pad, pad - 1)
+    r = (shifts - k)[:, None, None].astype(image.dtype)
+    k = k.astype(jnp.int32)
+
+    def row_fn(row, kk):
+        lo = jax.lax.dynamic_slice(row, (pad + kk, 0), (w, c))
+        hi = jax.lax.dynamic_slice(row, (pad + kk + 1, 0), (w, c))
+        return lo, hi
+
+    lo, hi = jax.vmap(row_fn)(padded, k)
+    return lo * (1.0 - r) + hi * r
+
+
 def resize_image_boxes(image: jnp.ndarray, boxes: jnp.ndarray, valid_hw, ratio: float):
     """Scale the valid region by ``ratio`` about the canvas origin; boxes *= ratio
     (cald_helper.py:47-53). ``ratio`` must be static. Requires ratio <= canvas
-    headroom when upscaling."""
+    headroom when upscaling. Pixels via one interpolation matmul per axis."""
     ch, cw, _ = image.shape
-    ys, xs = _grid((ch, cw))
+    h = valid_hw[0].astype(jnp.float32)
+    w = valid_hw[1].astype(jnp.float32)
     # Output valid size: floor like PIL's int(w * ratio).
-    nh = jnp.floor(valid_hw[0].astype(jnp.float32) * ratio).astype(jnp.int32)
-    nw = jnp.floor(valid_hw[1].astype(jnp.float32) * ratio).astype(jnp.int32)
-    # PIL maps output pixel centers by scale = in_size / out_size.
-    sy = (ys + 0.5) * (valid_hw[0].astype(jnp.float32) / jnp.maximum(nh, 1)) - 0.5
-    sx = (xs + 0.5) * (valid_hw[1].astype(jnp.float32) / jnp.maximum(nw, 1)) - 0.5
-    out = _bilinear_gather(image, sy, sx, valid_hw)
-    mask = ((ys < nh) & (xs < nw))[..., None]
-    out = jnp.where(mask, out, 0.0)
+    nh = jnp.floor(h * ratio).astype(jnp.int32)
+    nw = jnp.floor(w * ratio).astype(jnp.int32)
+    my = _interp_matrix(ch, nh, h, ch).astype(image.dtype)
+    mx = _interp_matrix(cw, nw, w, cw).astype(image.dtype)
+    out = _scale_rows(image, my)
+    out = _scale_rows(out.transpose(1, 0, 2), mx).transpose(1, 0, 2)
     return out, boxes * ratio, jnp.stack([nh, nw])
 
 
+def _affine_1d_matrix(canvas: int, scale, n_in) -> jnp.ndarray:
+    """(canvas, canvas) matrix sampling src = scale * i along one axis; weights
+    zero outside [0, n_in - 1] (black border, matching expand=True rotation)."""
+    i = jnp.arange(canvas, dtype=jnp.float32)
+    src = scale * i
+    n_in = jnp.asarray(n_in, jnp.float32)
+    ok = (src >= 0.0) & (src <= n_in - 1.0)
+    srcc = jnp.clip(src, 0.0, jnp.maximum(n_in - 2.0, 0.0))
+    lo = jnp.floor(srcc)
+    frac = srcc - lo
+    cols = jnp.arange(canvas, dtype=jnp.float32)[None, :]
+    m = (jnp.where(cols == lo[:, None], 1.0 - frac[:, None], 0.0)
+         + jnp.where(cols == lo[:, None] + 1.0, frac[:, None], 0.0))
+    m = jnp.where(ok[:, None], m, 0.0)
+    return jnp.where(cols < n_in, m, 0.0)
+
+
 def rotate_image_boxes(image: jnp.ndarray, boxes: jnp.ndarray, valid_hw, angle_deg: float):
-    """Rotate by ``angle_deg`` with expand=True, then resize back to (h, w) —
-    net pixel effect reproduced by one inverse-affine bilinear gather; box corner
-    math matches cald_helper.py:135-223 (affine corners -> enclosing box ->
-    rescale by the expanded size -> clamp)."""
+    """Rotate by ``angle_deg`` with expand=True, then resize back to (h, w).
+
+    Box corner math matches cald_helper.py:135-223 exactly (affine corners ->
+    enclosing box -> rescale by the expanded size -> clamp). Pixels use the
+    two-pass separable scheme (see module docstring): the net inverse affine
+      src_x = m00*x + m01*y + c0,  src_y = m10*x + m11*y + c1
+    factors into a horizontal scale+per-row-translate followed by a vertical
+    scale+per-column-translate (valid while m11 != 0, i.e. |angle| < 90deg).
+    """
     ch, cw, _ = image.shape
     h = valid_hw[0].astype(jnp.float32)
     w = valid_hw[1].astype(jnp.float32)
@@ -101,15 +188,34 @@ def rotate_image_boxes(image: jnp.ndarray, boxes: jnp.ndarray, valid_hw, angle_d
     tx = (1 - alpha) * cx - beta * cy + nw / 2 - cx
     ty = beta * cx + (1 - alpha) * cy + nh / 2 - cy
 
-    # Inverse for pixels: output (x_o, y_o) -> expanded coords (x_o*nw/w, y_o*nh/h)
-    # -> undo translation -> rotate by -angle.
+    # Inverse affine coefficients (see the gather formulation in git history):
+    sxs = nw / w
+    sys_ = nh / h
+    m00 = alpha * sxs
+    m01 = -beta * sys_
+    c0 = beta * ty - alpha * tx
+    m10 = beta * sxs
+    m11 = alpha * sys_
+    c1 = -(beta * tx + alpha * ty)
+
+    if angle_deg == 0.0:
+        out = image
+    else:
+        # pass 1 (x): T[v, x] = I[v, a1*x + b1(v)]
+        a1 = m00 - m01 * m10 / m11
+        rows = jnp.arange(ch, dtype=jnp.float32)
+        b1 = (m01 / m11) * rows + (c0 - m01 * c1 / m11)
+        mx = _affine_1d_matrix(cw, a1, w).astype(image.dtype)
+        t = _scale_rows(image.transpose(1, 0, 2), mx).transpose(1, 0, 2)
+        t = _translate_rows(t, b1 / a1)
+        # pass 2 (y): O[y, x] = T[m11*y + b2(x), x]
+        cols = jnp.arange(cw, dtype=jnp.float32)
+        b2 = m10 * cols + c1
+        my = _affine_1d_matrix(ch, m11, h).astype(image.dtype)
+        t = _scale_rows(t, my)
+        out = _translate_rows(t.transpose(1, 0, 2), b2 / m11).transpose(1, 0, 2)
+
     ys, xs = _grid((ch, cw))
-    xe = xs * (nw / w) - tx
-    ye = ys * (nh / h) - ty
-    # Inverse of A (rotation): A^-1 = [[alpha, -beta], [beta, alpha]]
-    sx = alpha * xe - beta * ye
-    sy = beta * xe + alpha * ye
-    out = _bilinear_gather(image, sy, sx, valid_hw)
     mask = ((ys < h) & (xs < w))[..., None]
     out = jnp.where(mask, out, 0.0)
 

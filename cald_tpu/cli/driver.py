@@ -28,7 +28,7 @@ from cald_tpu.data import (
 )
 from cald_tpu.data.transforms import random_horizontal_flip
 from cald_tpu.engine import (
-    create_train_state, evaluate, make_sgd, make_train_step,
+    create_train_state, evaluate, load_checkpoint, make_sgd, make_train_step,
     multistep_with_warmup, save_checkpoint, train_one_epoch,
 )
 from cald_tpu.engine.evaluate import run_inference
@@ -107,10 +107,10 @@ def _loaders(cfg: ALConfig, dataset, indices, *, batch_size, train: bool,
         num_workers=cfg.workers, seed=seed)
 
 
-def train_cycle(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
-                canvases, group_ids, *, cycle: int):
-    """Fresh model + full training schedule on the current labeled set
-    (the reference re-creates the model every cycle, cald_train.py:338-347)."""
+def _fresh_state(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
+                 canvases, group_ids, *, cycle: int):
+    """Fresh model + optimizer for a cycle (the reference re-creates the model
+    every cycle, cald_train.py:338-347)."""
     example = (jnp.zeros((cfg.batch_size, canvases[0].height, canvases[0].width, 3)),
                jnp.zeros((cfg.batch_size, 2), jnp.int32))
     loader0 = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
@@ -120,12 +120,19 @@ def train_cycle(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
     sched = multistep_with_warmup(cfg.lr, steps_per_epoch,
                                   milestones=cfg.lr_steps, gamma=cfg.lr_gamma,
                                   warmup_iters=cfg.warmup_iters)
-    state = create_train_state(
+    return create_train_state(
         model, example,
         lambda params: make_sgd(sched, momentum=cfg.momentum,
                                 weight_decay=cfg.weight_decay, params=params,
                                 frozen_prefixes=frozen_prefixes),
         seed=cfg.seed)
+
+
+def train_cycle(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
+                canvases, group_ids, *, cycle: int):
+    """Fresh model + full training schedule on the current labeled set."""
+    state = _fresh_state(cfg, model, frozen_prefixes, dataset, pool, canvases,
+                         group_ids, cycle=cycle)
     step_fn = make_train_step(model)
     for epoch in range(cfg.epochs):
         loader = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
@@ -304,13 +311,27 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
         t0 = time.time()
         print(f"=== cycle {cycle}: labeled {len(pool.labeled)}, "
               f"unlabeled {len(pool.unlabeled)} ===")
-        if cfg.strategy == "ll4al":
+        first_ckpt = (os.path.join(cfg.first_checkpoint_path,
+                                   f"{cfg.dataset}_{cfg.model}_1st")
+                      if cfg.first_checkpoint_path else "")
+        if cfg.skip and cycle == 0 and first_ckpt and os.path.isdir(first_ckpt):
+            # reuse the saved first-cycle model instead of retraining
+            # (reference --skip, cald_train.py:349-356)
+            print(f"--skip: loading first-cycle checkpoint {first_ckpt}")
+            state = _fresh_state(cfg, model, frozen_prefixes, train_ds, pool,
+                                 canvases, group_ids, cycle=0)
+            state, _, _, _ = load_checkpoint(first_ckpt, state)
+        elif cfg.strategy == "ll4al":
             state, strategy_state["ll_state"] = _train_cycle_ll4al(
                 cfg, model, frozen_prefixes, strategy_state["lossnet"],
                 train_ds, pool, canvases, group_ids, cycle=cycle)
         else:
             state = train_cycle(cfg, model, frozen_prefixes, train_ds, pool,
                                 canvases, group_ids, cycle=cycle)
+        if cycle == 0 and first_ckpt and not (cfg.skip and os.path.isdir(first_ckpt)):
+            # save the first-cycle model for later --skip runs
+            # (reference cald_train.py:418-426)
+            save_checkpoint(first_ckpt, state, meta={"cycle": 0})
         if cfg.strategy == "vaal":
             strategy_state["vaal"] = _train_vaal(cfg, train_ds, pool, canvases,
                                                  group_ids, cycle)
@@ -357,7 +378,7 @@ def _train_cycle_ll4al(cfg, model, frozen_prefixes, lossnet, dataset, pool,
                            frozen_prefixes=frozen_prefixes), seed=cfg.seed)
     # LossNet params need example features
     feats = jax.eval_shape(
-        lambda v: model.apply(v, *example, method="extract_features"),
+        lambda v: model.apply(v, example[0], method="extract_features"),
         task_state.variables)
     dummy_feats = [jnp.zeros(f.shape, f.dtype) for f in feats[:4]]
     ll_params = jax.jit(lossnet.init)(jax.random.key(cfg.seed + 1), dummy_feats)["params"]

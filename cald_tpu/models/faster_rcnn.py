@@ -51,6 +51,9 @@ class FasterRCNNConfig:
     num_classes: int = 21
     backbone: str = "resnet50"          # resnet50 | mobilenetv3 | tiny
     norm: str = "frozen"
+    # conv/matmul compute dtype; box decoding, NMS and scores stay f32.
+    # bf16 is the TPU-native default (MXU-native, halves HBM traffic).
+    compute_dtype: str = "bfloat16"
     fpn_channels: int = 256
     # RPN
     anchor_sizes: tuple = FRCNN_SIZES
@@ -88,16 +91,22 @@ class FasterRCNNConfig:
 
 
 def _build_backbone(cfg: FasterRCNNConfig):
+    dt = _dtype(cfg.compute_dtype)
     if cfg.backbone == "resnet50":
-        return ResNetBackbone(blocks_per_stage=(3, 4, 6, 3), width=64, norm=cfg.norm), \
-            ("c2", "c3", "c4", "c5")
+        return ResNetBackbone(blocks_per_stage=(3, 4, 6, 3), width=64,
+                              norm=cfg.norm, dtype=dt), ("c2", "c3", "c4", "c5")
     if cfg.backbone == "tiny":
         # CPU-testable miniature with the same interface
-        return ResNetBackbone(blocks_per_stage=(1, 1, 1, 1), width=16, norm=cfg.norm), \
-            ("c2", "c3", "c4", "c5")
+        return ResNetBackbone(blocks_per_stage=(1, 1, 1, 1), width=16,
+                              norm=cfg.norm, dtype=dt), ("c2", "c3", "c4", "c5")
     if cfg.backbone == "mobilenetv3":
-        return MobileNetV3Backbone(returned=("c4", "c5"), norm=cfg.norm), ("c4", "c5")
+        return MobileNetV3Backbone(returned=("c4", "c5"), norm=cfg.norm,
+                                   dtype=dt), ("c4", "c5")
     raise ValueError(f"unknown backbone {cfg.backbone!r}")
+
+
+def _dtype(name: str):
+    return None if name == "float32" else jnp.dtype(name)
 
 
 class FasterRCNN(nn.Module):
@@ -105,15 +114,20 @@ class FasterRCNN(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        dt = _dtype(cfg.compute_dtype)
         self.backbone, self._feat_keys = _build_backbone(cfg)
-        self.fpn = FPN(out_channels=cfg.fpn_channels, extra="pool")
+        self.fpn = FPN(out_channels=cfg.fpn_channels, extra="pool", dtype=dt)
         a_per_cell = len(cfg.anchor_sizes[0]) * len(cfg.aspect_ratios)
-        self.rpn_head = RPNHead(num_anchors=a_per_cell, channels=cfg.fpn_channels)
-        self.box_head = TwoMLPHead(cfg.representation_size)
-        self.box_predictor = FastRCNNPredictor(cfg.num_classes)
+        self.rpn_head = RPNHead(num_anchors=a_per_cell, channels=cfg.fpn_channels,
+                                dtype=dt)
+        self.box_head = TwoMLPHead(cfg.representation_size, dtype=dt)
+        self.box_predictor = FastRCNNPredictor(cfg.num_classes, dtype=dt)
 
     def _features(self, images: jnp.ndarray) -> list[jnp.ndarray]:
         x = (images / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        dt = _dtype(self.cfg.compute_dtype)
+        if dt is not None:
+            x = x.astype(dt)
         feats = self.backbone(x)
         return self.fpn([feats[k] for k in self._feat_keys])
 

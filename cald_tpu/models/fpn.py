@@ -43,13 +43,14 @@ class FPN(nn.Module):
 
     out_channels: int = 256
     extra: str = "pool"   # 'pool' | 'p6p7' | 'none'
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> list[jnp.ndarray]:
         n = len(feats)
         laterals = [
             nn.Conv(self.out_channels, (1, 1), kernel_init=conv_kaiming,
-                    name=f"lateral{i}")(f)
+                    dtype=self.dtype, name=f"lateral{i}")(f)
             for i, f in enumerate(feats)
         ]
         # top-down pathway, coarsest to finest
@@ -61,7 +62,7 @@ class FPN(nn.Module):
             merged[i] = laterals[i] + up
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    kernel_init=conv_kaiming, name=f"output{i}")(m)
+                    kernel_init=conv_kaiming, dtype=self.dtype, name=f"output{i}")(m)
             for i, m in enumerate(merged)
         ]
         if self.extra == "pool":
@@ -70,10 +71,10 @@ class FPN(nn.Module):
         elif self.extra == "p6p7":
             p6 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
                          padding=[(1, 1), (1, 1)], kernel_init=conv_kaiming,
-                         name="p6")(outs[-1])
+                         dtype=self.dtype, name="p6")(outs[-1])
             p7 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
                          padding=[(1, 1), (1, 1)], kernel_init=conv_kaiming,
-                         name="p7")(nn.relu(p6))
+                         dtype=self.dtype, name="p7")(nn.relu(p6))
             outs.extend([p6, p7])
         elif self.extra != "none":
             raise ValueError(f"unknown extra block {self.extra!r}")

@@ -34,14 +34,16 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable("frozen", "var", lambda: jnp.ones((f,), jnp.float32))
         w = scale.value / jnp.sqrt(var.value + self.eps)
         b = bias.value - mean.value * w
-        return x * w + b
+        # fold stats in f32, apply in the activation dtype (bf16 compute path)
+        return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 
-def make_norm(kind: str) -> Callable[[int], nn.Module]:
+def make_norm(kind: str, dtype=None) -> Callable[[int], nn.Module]:
     """norm factory: 'frozen' (reference default) or 'group' (from-scratch
     friendly; GN is batch-size independent, good for small detection batches)."""
     if kind == "frozen":
         return lambda features: FrozenBatchNorm(features)
     if kind == "group":
-        return lambda features: nn.GroupNorm(num_groups=min(32, features))
+        return lambda features: nn.GroupNorm(num_groups=min(32, features),
+                                             dtype=dtype)
     raise ValueError(f"unknown norm kind {kind!r}")

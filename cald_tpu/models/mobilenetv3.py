@@ -71,22 +71,24 @@ class SqueezeExcite(nn.Module):
 class InvertedResidual(nn.Module):
     cfg: BneckCfg
     norm: str = "frozen"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        norm = make_norm(self.norm)
+        norm = make_norm(self.norm, self.dtype)
         act = hard_swish if c.act == "HS" else nn.relu
         y = x
         if c.expand != c.in_ch:
             y = nn.Conv(c.expand, (1, 1), use_bias=False, kernel_init=conv_kaiming,
-                        name="expand")(y)
+                        dtype=self.dtype, name="expand")(y)
             y = norm(c.expand)(y)
             y = act(y)
         pad = (c.kernel - 1) // 2
         y = nn.Conv(c.expand, (c.kernel, c.kernel), strides=(c.stride, c.stride),
                     padding=[(pad, pad), (pad, pad)], feature_group_count=c.expand,
-                    use_bias=False, kernel_init=conv_kaiming, name="depthwise")(y)
+                    use_bias=False, kernel_init=conv_kaiming, dtype=self.dtype,
+                    name="depthwise")(y)
         y = norm(c.expand)(y)
         y = act(y)
         if c.se:
@@ -94,7 +96,7 @@ class InvertedResidual(nn.Module):
             sq = _make_divisible(c.expand // 4)
             y = SqueezeExcite(c.expand, sq, name="se")(y)
         y = nn.Conv(c.out_ch, (1, 1), use_bias=False, kernel_init=conv_kaiming,
-                    name="project")(y)
+                    dtype=self.dtype, name="project")(y)
         y = norm(c.out_ch)(y)
         if c.stride == 1 and c.in_ch == c.out_ch:
             y = y + x
@@ -118,12 +120,14 @@ class MobileNetV3Backbone(nn.Module):
 
     returned: Sequence[str] = ("c5",)
     norm: str = "frozen"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
-        norm = make_norm(self.norm)
+        norm = make_norm(self.norm, self.dtype)
         y = nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    use_bias=False, kernel_init=conv_kaiming, name="stem")(x)
+                    use_bias=False, kernel_init=conv_kaiming, dtype=self.dtype,
+                    name="stem")(x)
         y = norm(16)(y)
         y = hard_swish(y)
 
@@ -132,10 +136,10 @@ class MobileNetV3Backbone(nn.Module):
         for i, cfg in enumerate(LARGE_CFG):
             if cfg.stride == 2:
                 stage += 1
-            y = InvertedResidual(cfg, self.norm, name=f"block{i}")(y)
+            y = InvertedResidual(cfg, self.norm, self.dtype, name=f"block{i}")(y)
             feats[f"c{stage}"] = y
         y = nn.Conv(960, (1, 1), use_bias=False, kernel_init=conv_kaiming,
-                    name="lastconv")(y)
+                    dtype=self.dtype, name="lastconv")(y)
         y = norm(960)(y)
         y = hard_swish(y)
         feats["c5"] = y

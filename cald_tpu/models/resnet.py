@@ -27,28 +27,29 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     norm: str = "frozen"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        norm = make_norm(self.norm)
+        norm = make_norm(self.norm, self.dtype)
         out_ch = self.planes * 4
         identity = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=conv_kaiming,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         y = norm(self.planes)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], use_bias=False,
-                    kernel_init=conv_kaiming, name="conv2")(y)
+                    kernel_init=conv_kaiming, dtype=self.dtype, name="conv2")(y)
         y = norm(self.planes)(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, kernel_init=conv_kaiming,
-                    name="conv3")(y)
+                    dtype=self.dtype, name="conv3")(y)
         y = norm(out_ch)(y)
         if identity.shape[-1] != out_ch or self.stride != 1:
             identity = nn.Conv(out_ch, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=conv_kaiming,
-                               name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv")(x)
             identity = norm(out_ch)(identity)
         return nn.relu(y + identity)
 
@@ -63,13 +64,14 @@ class ResNetBackbone(nn.Module):
     blocks_per_stage: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
     norm: str = "frozen"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
-        norm = make_norm(self.norm)
+        norm = make_norm(self.norm, self.dtype)
         w = self.width
         y = nn.Conv(w, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=conv_kaiming, name="conv1")(x)
+                    use_bias=False, kernel_init=conv_kaiming, dtype=self.dtype, name="conv1")(x)
         y = norm(w)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -79,7 +81,7 @@ class ResNetBackbone(nn.Module):
             planes = w * (2 ** stage)
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                y = Bottleneck(planes, stride, self.norm,
+                y = Bottleneck(planes, stride, self.norm, self.dtype,
                                name=f"layer{stage + 1}_{b}")(y)
             feats[f"c{stage + 2}"] = y
         return feats

@@ -49,6 +49,7 @@ class RetinaNetConfig:
     num_classes: int = 21               # channel space includes background idx 0
     backbone: str = "resnet50"          # resnet50 | mobilenet | tiny
     norm: str = "frozen"
+    compute_dtype: str = "bfloat16"     # see FasterRCNNConfig.compute_dtype
     fpn_channels: int = 256
     anchor_sizes: tuple = RETINA_SIZES
     aspect_ratios: tuple = ASPECT_RATIOS
@@ -77,22 +78,25 @@ class RetinaNetHead(nn.Module):
     num_anchors: int
     channels: int = 256
     prior_probability: float = 0.01
+    dtype: object = None
 
     @nn.compact
     def __call__(self, pyramid: Sequence[jnp.ndarray]):
         bias_init = nn.initializers.constant(
             -math.log((1.0 - self.prior_probability) / self.prior_probability))
         cls_convs = [nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                             kernel_init=head_normal, name=f"cls_conv{i}")
+                             kernel_init=head_normal, dtype=self.dtype,
+                             name=f"cls_conv{i}")
                      for i in range(4)]
         reg_convs = [nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                             kernel_init=head_normal, name=f"reg_conv{i}")
+                             kernel_init=head_normal, dtype=self.dtype,
+                             name=f"reg_conv{i}")
                      for i in range(4)]
         cls_out = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
                           padding=[(1, 1), (1, 1)], kernel_init=head_normal,
-                          bias_init=bias_init, name="cls_logits")
+                          bias_init=bias_init, dtype=self.dtype, name="cls_logits")
         reg_out = nn.Conv(self.num_anchors * 4, (3, 3), padding=[(1, 1), (1, 1)],
-                          kernel_init=head_normal, name="bbox_reg")
+                          kernel_init=head_normal, dtype=self.dtype, name="bbox_reg")
 
         logits, regs = [], []
         for f in pyramid:
@@ -100,11 +104,12 @@ class RetinaNetHead(nn.Module):
             for conv in cls_convs:
                 t = nn.relu(conv(t))
             b = f.shape[0]
-            logits.append(cls_out(t).reshape(b, -1, self.num_classes))
+            logits.append(cls_out(t).reshape(b, -1, self.num_classes)
+                          .astype(jnp.float32))
             t = f
             for conv in reg_convs:
                 t = nn.relu(conv(t))
-            regs.append(reg_out(t).reshape(b, -1, 4))
+            regs.append(reg_out(t).reshape(b, -1, 4).astype(jnp.float32))
         return jnp.concatenate(logits, axis=1), jnp.concatenate(regs, axis=1)
 
 
@@ -189,14 +194,16 @@ def retinanet_postprocess(cls_logits, bbox_reg, anchors, level_counts,
 
 
 def _build_backbone(cfg: RetinaNetConfig):
+    dt = None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
     if cfg.backbone == "resnet50":
         return ResNetBackbone(blocks_per_stage=(3, 4, 6, 3), width=64,
-                              norm=cfg.norm), ("c3", "c4", "c5")
+                              norm=cfg.norm, dtype=dt), ("c3", "c4", "c5")
     if cfg.backbone == "tiny":
         return ResNetBackbone(blocks_per_stage=(1, 1, 1, 1), width=16,
-                              norm=cfg.norm), ("c3", "c4", "c5")
+                              norm=cfg.norm, dtype=dt), ("c3", "c4", "c5")
     if cfg.backbone == "mobilenet":
-        return MobileNetV3Backbone(returned=("c5",), norm=cfg.norm), ("c5",)
+        return MobileNetV3Backbone(returned=("c5",), norm=cfg.norm,
+                                   dtype=dt), ("c5",)
     raise ValueError(f"unknown backbone {cfg.backbone!r}")
 
 
@@ -205,22 +212,26 @@ class RetinaNet(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        dt = None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
         self.backbone, self._feat_keys = _build_backbone(cfg)
         if cfg.backbone == "mobilenet":
             # single 960 -> 256 1x1 conv feature (retinanet_cal.py:685-716)
             self.fpn = None
         else:
-            self.fpn = FPN(out_channels=cfg.fpn_channels, extra="p6p7")
+            self.fpn = FPN(out_channels=cfg.fpn_channels, extra="p6p7", dtype=dt)
         a_per_cell = len(cfg.anchor_sizes[0]) * len(cfg.aspect_ratios)
         self.head = RetinaNetHead(num_classes=cfg.num_classes,
                                   num_anchors=a_per_cell,
                                   channels=cfg.fpn_channels,
-                                  prior_probability=cfg.prior_probability)
+                                  prior_probability=cfg.prior_probability,
+                                  dtype=dt)
         if cfg.backbone == "mobilenet":
-            self.reduce = nn.Conv(cfg.fpn_channels, (1, 1), name="reduce")
+            self.reduce = nn.Conv(cfg.fpn_channels, (1, 1), dtype=dt, name="reduce")
 
     def _features(self, images):
         x = (images / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        if self.cfg.compute_dtype != "float32":
+            x = x.astype(jnp.dtype(self.cfg.compute_dtype))
         feats = self.backbone(x)
         maps = [feats[k] for k in self._feat_keys]
         if self.fpn is None:

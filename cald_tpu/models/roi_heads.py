@@ -34,24 +34,31 @@ class TwoMLPHead(nn.Module):
     """flatten -> fc -> relu -> fc -> relu (frcnn_la.py:211-217)."""
 
     representation_size: int = 1024
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.representation_size, name="fc6")(x))
-        x = nn.relu(nn.Dense(self.representation_size, name="fc7")(x))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                             name="fc6")(x))
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                             name="fc7")(x))
         return x
 
 
 class FastRCNNPredictor(nn.Module):
     num_classes: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        cls = nn.Dense(self.num_classes, kernel_init=head_normal, name="cls_score")(x)
+        cls = nn.Dense(self.num_classes, kernel_init=head_normal,
+                       dtype=self.dtype, name="cls_score")(x)
         reg = nn.Dense(self.num_classes * 4, kernel_init=head_normal,
-                       name="bbox_pred")(x)
-        return cls, reg
+                       dtype=self.dtype, name="bbox_pred")(x)
+        return cls.astype(jnp.float32), reg.astype(jnp.float32)
 
 
 def select_training_samples(proposals: jnp.ndarray, prop_valid: jnp.ndarray,

@@ -28,26 +28,30 @@ from cald_tpu.ops.nms import batched_nms
 
 
 class RPNHead(nn.Module):
-    """3x3 conv + sibling 1x1 objectness / 4A deltas convs, shared across levels."""
+    """3x3 conv + sibling 1x1 objectness / 4A deltas convs, shared across levels.
+
+    Conv compute runs in ``dtype`` (bf16 on TPU); outputs are cast to f32 —
+    they feed box decoding and NMS, which need full precision."""
 
     num_anchors: int
     channels: int = 256
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
         conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                       kernel_init=head_normal, name="conv")
+                       kernel_init=head_normal, dtype=self.dtype, name="conv")
         cls = nn.Conv(self.num_anchors, (1, 1), kernel_init=head_normal,
-                      name="objectness")
+                      dtype=self.dtype, name="objectness")
         reg = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=head_normal,
-                      name="deltas")
+                      dtype=self.dtype, name="deltas")
         obj_all, reg_all = [], []
         for f in feats:
             t = nn.relu(conv(f))
             b = f.shape[0]
             # (B, H, W, A) -> (B, H*W*A) matching anchor ordering (y, x, a)
-            obj_all.append(cls(t).reshape(b, -1))
-            reg_all.append(reg(t).reshape(b, -1, 4))
+            obj_all.append(cls(t).reshape(b, -1).astype(jnp.float32))
+            reg_all.append(reg(t).reshape(b, -1, 4).astype(jnp.float32))
         return jnp.concatenate(obj_all, axis=1), jnp.concatenate(reg_all, axis=1)
 
 

@@ -47,7 +47,8 @@ class VAAL_VAE(nn.Module):
         y = y.reshape(z.shape[0], s, s, 8 * b)
         widths = (8 * b, 4 * b, 2 * b, b, 3)
         for i, w in enumerate(widths):
-            y = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
+            # padding='SAME' gives exactly 2x upsampling (torch's k4 s2 p1)
+            y = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding="SAME",
                                  name=f"dec{i}")(y)
             if i < len(widths) - 1:
                 y = nn.GroupNorm(num_groups=min(32, w), name=f"dec_norm{i}")(y)

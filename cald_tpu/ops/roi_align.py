@@ -148,44 +148,66 @@ def multi_scale_roi_align(feats, rois: jnp.ndarray, *, spatial_scales,
     flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)  # (P, C)
     scales = jnp.asarray(list(spatial_scales), jnp.float32)
 
-    r = rois.shape[0]
+    n = rois.shape[0]
     s = output_size * sampling_ratio
-    scale = scales[levels]                                             # (R,)
-    h_l = hs[levels]
-    w_l = ws[levels]
-    off = offs[levels]
 
-    x1 = rois[:, 0] * scale
-    y1 = rois[:, 1] * scale
-    roi_w = jnp.maximum(rois[:, 2] * scale - x1, 1.0)
-    roi_h = jnp.maximum(rois[:, 3] * scale - y1, 1.0)
-    steps = (jnp.arange(s, dtype=flat.dtype) + 0.5) / sampling_ratio
-    ys = y1[:, None] + steps[None] * (roi_h / output_size)[:, None]    # (R, S)
-    xs = x1[:, None] + steps[None] * (roi_w / output_size)[:, None]
+    def align_chunk(args):
+        rois_c, levels_c = args
+        r = rois_c.shape[0]
+        scale = scales[levels_c]                                       # (R,)
+        h_l = hs[levels_c]
+        w_l = ws[levels_c]
+        off = offs[levels_c]
 
-    in_y = (ys >= -1.0) & (ys <= h_l[:, None])
-    in_x = (xs >= -1.0) & (xs <= w_l[:, None])
-    y = jnp.clip(ys, 0.0, h_l[:, None] - 1.0)
-    x = jnp.clip(xs, 0.0, w_l[:, None] - 1.0)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y1i = jnp.minimum(y0 + 1, (h_l[:, None] - 1.0).astype(jnp.int32))
-    x1i = jnp.minimum(x0 + 1, (w_l[:, None] - 1.0).astype(jnp.int32))
-    ly = (y - y0)[:, :, None]                                          # (R, S, 1)
-    lx = (x - x0)[:, None, :]                                          # (R, 1, S)
-    hy, hx = 1.0 - ly, 1.0 - lx
+        x1 = rois_c[:, 0] * scale
+        y1 = rois_c[:, 1] * scale
+        roi_w = jnp.maximum(rois_c[:, 2] * scale - x1, 1.0)
+        roi_h = jnp.maximum(rois_c[:, 3] * scale - y1, 1.0)
+        # coords always in f32 (bf16 features must not degrade sampling)
+        steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / sampling_ratio
+        ys = y1[:, None] + steps[None] * (roi_h / output_size)[:, None]  # (R, S)
+        xs = x1[:, None] + steps[None] * (roi_w / output_size)[:, None]
 
-    w_i = w_l.astype(jnp.int32)
+        in_y = (ys >= -1.0) & (ys <= h_l[:, None])
+        in_x = (xs >= -1.0) & (xs <= w_l[:, None])
+        y = jnp.clip(ys, 0.0, h_l[:, None] - 1.0)
+        x = jnp.clip(xs, 0.0, w_l[:, None] - 1.0)
+        # clamped-base bilinear: base = min(floor(v), n-2), frac = v - base in
+        # [0, 1] — exact (frac hits 1.0 at the boundary) and lets each x-pair
+        # be ONE contiguous (2, C) slice instead of two row gathers.
+        y0 = jnp.clip(jnp.floor(y), 0.0, h_l[:, None] - 2.0).astype(jnp.int32)
+        x0 = jnp.clip(jnp.floor(x), 0.0, w_l[:, None] - 2.0).astype(jnp.int32)
+        # weights in the FEATURE dtype: gathered bf16 tensors must not be
+        # upcast to f32 (4x (R,S,S,C) f32 temps OOM'd the scoring program)
+        ly = (y - y0)[:, :, None].astype(flat.dtype)                   # (R, S, 1)
+        lx = (x - x0)[:, None, :].astype(flat.dtype)                   # (R, 1, S)
+        hy, hx = 1.0 - ly, 1.0 - lx
 
-    def take(yi, xi):                                                  # -> (R,S,S,C)
-        idx = off[:, None, None] + yi[:, :, None] * w_i[:, None, None] + xi[:, None, :]
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, s, s, c)
+        w_i = w_l.astype(jnp.int32)
 
-    out = ((hy * hx)[..., None] * take(y0, x0)
-           + (hy * lx)[..., None] * take(y0, x1i)
-           + (ly * hx)[..., None] * take(y1i, x0)
-           + (ly * lx)[..., None] * take(y1i, x1i))
-    inside = (in_y[:, :, None] & in_x[:, None, :])[..., None]
-    out = jnp.where(inside, out, 0.0)
-    return out.reshape(r, output_size, sampling_ratio, output_size,
-                       sampling_ratio, c).mean(axis=(2, 4))
+        def take_pair(yi):                                             # (R,S,S,2,C)
+            """For each sample point: flat rows [p, p+1] = the (x0, x0+1) pair
+            of row yi — one contiguous (2, C) slice per point."""
+            p = (off[:, None, None] + yi[:, :, None] * w_i[:, None, None]
+                 + x0[:, None, :]).reshape(-1)
+            g = jax.vmap(lambda i: jax.lax.dynamic_slice(flat, (i, 0), (2, c)))(p)
+            return g.reshape(r, s, s, 2, c)
+
+        def lerp_x(pair):                                              # (R,S,S,C)
+            return pair[..., 0, :] * hx[..., None] + pair[..., 1, :] * lx[..., None]
+
+        out = hy[..., None] * lerp_x(take_pair(y0))
+        out += ly[..., None] * lerp_x(take_pair(y0 + 1))
+        inside = (in_y[:, :, None] & in_x[:, None, :])[..., None]
+        out = jnp.where(inside, out, jnp.zeros((), flat.dtype))
+        # the 2x2 sub-bin mean accumulates in f32
+        return out.reshape(r, output_size, sampling_ratio, output_size,
+                           sampling_ratio, c).astype(jnp.float32).mean(axis=(2, 4))
+
+    if n <= chunk_size:
+        return align_chunk((rois, levels))
+    pad = (-n) % chunk_size
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0))).reshape(-1, chunk_size, 4)
+    levels_p = jnp.pad(levels, (0, pad)).reshape(-1, chunk_size)
+    out = jax.lax.map(align_chunk, (rois_p, levels_p))
+    return out.reshape(-1, output_size, output_size, c)[:n]
