@@ -75,3 +75,37 @@ class TestALLoop:
         ds = get_voc2007(voc_root, "trainval")
         history = al_loop(cfg, datasets=(ds, ds))
         assert history[0]["labeled"] == 7
+
+    def test_coco_cald_cycle(self, tmp_path_factory):
+        """BASELINE configs[3] shape: COCO data + CALD + coco eval."""
+        from cald_tpu.data import get_coco
+        from tests.fixtures import make_coco
+
+        root = make_coco(tmp_path_factory.mktemp("coco_al"), num_images=10,
+                         hw=(70, 90), num_classes=3)
+        train = get_coco(root, "train")
+        cfg = ALConfig(
+            dataset="coco", data_path=root, model="faster", strategy="cald",
+            tiny=True, norm="group", cycles=2, epochs=1, batch_size=2,
+            init_num=4, budget_num=3, pool_cap=6, score_batch_size=2,
+            workers=2, min_size=96, max_size=128, max_boxes=8, print_freq=100,
+            aspect_ratio_group_factor=0).resolve()
+        hist = al_loop(cfg, datasets=(train, train))
+        assert hist[0]["labeled"] == 7
+        assert "AP" in hist[0]["eval"]
+
+    def test_skip_first_cycle_checkpoint(self, voc_root, tmp_path):
+        """--skip reuses the saved first-cycle model (cald_train.py:349-356)."""
+        import os
+
+        ds = get_voc2007(voc_root, "trainval")
+        cfg = mini_cfg(voc_root, strategy="random", cycles=1,
+                       eval_every_cycle=False,
+                       first_checkpoint_path=str(tmp_path))
+        al_loop(cfg, datasets=(ds, ds))
+        assert os.path.isdir(tmp_path / "voc2007_faster_1st")
+        cfg2 = mini_cfg(voc_root, strategy="random", cycles=1,
+                        eval_every_cycle=False, skip=True,
+                        first_checkpoint_path=str(tmp_path))
+        hist = al_loop(cfg2, datasets=(ds, ds))
+        assert len(hist) == 1
