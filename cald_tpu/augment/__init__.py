@@ -14,7 +14,9 @@ from cald_tpu.augment.photometric import (
     salt_pepper_noise,
 )
 from cald_tpu.augment.cutout import cutout
-from cald_tpu.augment.suite import AUG_CODES, build_aug_batch, expand_aug_string
+from cald_tpu.augment.suite import (
+    AUG_CODES, build_aug_batch, expand_aug_string, expand_multi,
+)
 
 __all__ = [
     "horizontal_flip",
@@ -28,4 +30,5 @@ __all__ = [
     "AUG_CODES",
     "build_aug_batch",
     "expand_aug_string",
+    "expand_multi",
 ]

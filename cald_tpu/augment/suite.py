@@ -36,30 +36,54 @@ def expand_aug_string(augs: str) -> list[str]:
     return [n for n in order if n in names]
 
 
+def expand_multi(name: str) -> list[str]:
+    """Expand the reference's multi_* aug families (cald_train.py:131-183) into
+    parameterized entries accepted by ``_aug_fn``."""
+    if name == "multi_ga":            # std 8..48 (cald_train.py:132-135)
+        return [f"ga:{8 * i}" for i in range(1, 7)]
+    if name == "multi_sp":            # prob 0.05..0.30 (:152-156)
+        return [f"sp:{0.05 * i:g}" for i in range(1, 7)]
+    if name == "multi_cut_out":       # cut_num 1..4 (:161-165)
+        return [f"cut_out:{i}" for i in range(1, 5)]
+    if name == "multi_resize":        # ratios 0.7..0.9 (:166-170)
+        return [f"resize:{i * 0.1:g}" for i in range(7, 10)]
+    if name == "multi_color_adjust":  # factors 2..5 (:143-146)
+        return [f"color_adjust:{i}" for i in range(2, 6)]
+    raise ValueError(f"unknown multi augmentation {name!r}")
+
+
 def _aug_fn(name: str) -> Callable:
-    """Returns fn(image, boxes, box_valid, valid_hw, key) -> (img, boxes, valid_hw)."""
-    if name == "flip":
+    """Returns fn(image, boxes, box_valid, valid_hw, key) -> (img, boxes, valid_hw).
+
+    Parameterized forms: 'ga:24', 'sp:0.15', 'cut_out:3', 'resize:0.7',
+    'rotation:10', 'color_adjust:2' (the multi_* families expand to these,
+    see ``expand_multi``).
+    """
+    base, _, arg = name.partition(":")
+    val = float(arg) if arg else None
+    if base == "flip":
         return lambda im, bx, bv, hw, k: horizontal_flip(im, bx, hw)
-    if name == "cut_out":
-        return lambda im, bx, bv, hw, k: (cutout(im, bx, bv, hw, k, cut_num=2), bx, hw)
-    if name == "smaller_resize":
-        return lambda im, bx, bv, hw, k: resize_image_boxes(im, bx, hw, 0.8)
-    if name == "larger_resize":
-        return lambda im, bx, bv, hw, k: resize_image_boxes(im, bx, hw, 1.2)
-    if name == "rotation":
-        return lambda im, bx, bv, hw, k: rotate_image_boxes(im, bx, hw, 5.0)
-    if name == "ga":
-        return lambda im, bx, bv, hw, k: (gaussian_noise(im, hw, k, 16.0), bx, hw)
-    if name == "sp":
-        return lambda im, bx, bv, hw, k: (salt_pepper_noise(im, hw, k, 0.1), bx, hw)
-    if name == "color_adjust":
-        return lambda im, bx, bv, hw, k: (color_adjust(im, hw, 1.5), bx, hw)
-    if name == "color_swap":
+    if base == "cut_out":
+        n = int(val) if val is not None else 2
+        return lambda im, bx, bv, hw, k: (cutout(im, bx, bv, hw, k, cut_num=n), bx, hw)
+    if base == "smaller_resize":
+        return lambda im, bx, bv, hw, k: resize_image_boxes(im, bx, hw, val or 0.8)
+    if base == "larger_resize":
+        return lambda im, bx, bv, hw, k: resize_image_boxes(im, bx, hw, val or 1.2)
+    if base == "resize":
+        return lambda im, bx, bv, hw, k: resize_image_boxes(im, bx, hw, val)
+    if base == "rotation":
+        return lambda im, bx, bv, hw, k: rotate_image_boxes(im, bx, hw, val or 5.0)
+    if base == "ga":
+        return lambda im, bx, bv, hw, k: (gaussian_noise(im, hw, k, val or 16.0), bx, hw)
+    if base == "sp":
+        return lambda im, bx, bv, hw, k: (salt_pepper_noise(im, hw, k, val or 0.1), bx, hw)
+    if base == "color_adjust":
+        return lambda im, bx, bv, hw, k: (color_adjust(im, hw, val or 1.5), bx, hw)
+    if base == "color_swap":
         return lambda im, bx, bv, hw, k: (color_swap(im, hw, k), bx, hw)
-    if name.startswith("multi_"):
-        raise ValueError(
-            f"{name}: multi_* variants expand to several entries — pass e.g. "
-            "['ga'] * 6 with explicit params via make_suite instead.")
+    if base.startswith("multi_"):
+        raise ValueError(f"{name}: expand with expand_multi() first")
     raise ValueError(f"unknown augmentation {name!r}")
 
 

@@ -54,6 +54,7 @@ class ALConfig:
     first_checkpoint_path: str = ""     # --skip reuse (cald_train.py:349-356)
     skip: bool = False
     eval_every_cycle: bool = True
+    classwise: bool = False
     max_boxes: int = 64
     # canvas overrides (None -> derived from dataset min/max sizes)
     min_size: int | None = None
@@ -134,6 +135,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--first-checkpoint-path", dest="first_checkpoint_path",
                    default="")
     p.add_argument("--skip", action="store_true")
+    p.add_argument("--classwise", action="store_true",
+                   help="per-class AP table in COCO eval (engine.py:221-254)")
     p.add_argument("--no-eval", dest="eval_every_cycle", action="store_false")
     p.add_argument("--tiny", action="store_true",
                    help="miniature backbone for smoke tests")

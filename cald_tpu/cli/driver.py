@@ -238,7 +238,15 @@ def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
         gamma = strategy_state.setdefault("gamma", scfg.gamma)
         clslambda = strategy_state.setdefault(
             "clslambda", np.full(cfg.num_classes - 1, np.log(2.0)))
-        by_idx = _ssm_pool_detections(model, variables, pool_loader(), scfg)
+        # ssm_mode uses per-class NMS at 0.3 (frcnn_ssm.py:88); the variant
+        # model shares the trained params (configs differ only in postprocess)
+        import dataclasses as _dc
+
+        ssm_model = type(model)(_dc.replace(
+            model.cfg, **({"box_nms_thresh": scfg.nms_thresh}
+                          if hasattr(model.cfg, "box_nms_thresh")
+                          else {"nms_thresh": scfg.nms_thresh})))
+        by_idx = _ssm_pool_detections(ssm_model, variables, pool_loader(), scfg)
         pool_dets = [by_idx[int(idx)] for idx in subset]
         from cald_tpu.data.loader import decode_image
 
@@ -342,7 +350,7 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
                                    batch_size=cfg.score_batch_size, train=False,
                                    canvases=canvases, group_ids=test_group_ids)
             stats = evaluate(model, state.variables, test_loader, test_ds,
-                             kind=cfg.eval_kind)
+                             kind=cfg.eval_kind, classwise=cfg.classwise)
 
         if cfg.output_dir:
             save_checkpoint(os.path.join(cfg.output_dir, f"cycle_{cycle}"),
