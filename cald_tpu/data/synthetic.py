@@ -103,3 +103,48 @@ def make_coco(root, num_images=5, hw=(50, 60), num_classes=3, seed=0,
     with open(os.path.join(ann_dir, f"instances_{split}{year}.json"), "w") as f:
         json.dump(data, f)
     return str(root)
+
+
+def make_learnable_voc(root, num_images=32, hw=(96, 128), seed=0, year="2007"):
+    """A LEARNABLE synthetic VOC set: solid color-coded rectangles (class =
+    color) on a gray background. A tiny detector reaches per-class AP50 > 0.9
+    within ~60 short epochs — the end-to-end training-signal check.
+    """
+    import os
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    classes = ["aeroplane", "bicycle", "bird"]
+    colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220)]
+    voc = os.path.join(str(root), f"VOC{year}")
+    for sub in ("JPEGImages", "Annotations", os.path.join("ImageSets", "Main")):
+        os.makedirs(os.path.join(voc, sub), exist_ok=True)
+    ids = []
+    h, w = hw
+    for i in range(num_images):
+        img_id = f"{i:06d}"
+        ids.append(img_id)
+        img = np.full((h, w, 3), 128, np.uint8)
+        img += rng.integers(-10, 10, img.shape).astype(np.uint8)
+        objs = []
+        for _ in range(int(rng.integers(1, 3))):
+            c = int(rng.integers(len(classes)))
+            bw, bh = int(rng.integers(24, 48)), int(rng.integers(24, 48))
+            x1 = int(rng.integers(1, w - bw))
+            y1 = int(rng.integers(1, h - bh))
+            img[y1:y1 + bh, x1:x1 + bw] = colors[c]
+            objs.append((classes[c], x1, y1, x1 + bw, y1 + bh))
+        Image.fromarray(img).save(os.path.join(voc, "JPEGImages", img_id + ".jpg"))
+        xml_objs = "".join(
+            f"<object><name>{n_}</name><difficult>0</difficult><bndbox>"
+            f"<xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax>"
+            f"</bndbox></object>" for n_, x1, y1, x2, y2 in objs)
+        with open(os.path.join(voc, "Annotations", img_id + ".xml"), "w") as f:
+            f.write(f"<annotation><filename>{img_id}.jpg</filename><size>"
+                    f"<width>{w}</width><height>{h}</height><depth>3</depth>"
+                    f"</size>{xml_objs}</annotation>")
+    for split in ("trainval", "test"):
+        with open(os.path.join(voc, "ImageSets", "Main", split + ".txt"), "w") as f:
+            f.write("\n".join(ids))
+    return str(root)
