@@ -128,18 +128,35 @@ def _fresh_state(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
         seed=cfg.seed)
 
 
+def _mesh_hooks():
+    """(put_batch, put_state): shard batches / replicate state over the data
+    mesh when multiple devices are visible; identity on a single chip. This is
+    the whole DDP story (SURVEY.md §2.7-2.8) — XLA adds the collectives."""
+    if jax.device_count() <= 1:
+        return (lambda b: b), (lambda s: s)
+    from cald_tpu.parallel import data_mesh, replicate, shard_batch
+
+    mesh = data_mesh()
+    return (lambda b: shard_batch(b, mesh)), (
+        lambda s: jax.tree.map(
+            lambda x: replicate(x, mesh) if hasattr(x, "shape") else x, s))
+
+
 def train_cycle(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
                 canvases, group_ids, *, cycle: int):
     """Fresh model + full training schedule on the current labeled set."""
     state = _fresh_state(cfg, model, frozen_prefixes, dataset, pool, canvases,
                          group_ids, cycle=cycle)
+    put_batch, put_state = _mesh_hooks()
+    state = put_state(state)
     step_fn = make_train_step(model)
     for epoch in range(cfg.epochs):
         loader = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
                           train=True, canvases=canvases, group_ids=group_ids,
                           seed=cfg.seed + cycle * 1000 + epoch)
         state, _ = train_one_epoch(
-            state, step_fn, loader, jax.random.fold_in(jax.random.key(cfg.seed), epoch),
+            state, step_fn, (put_batch(b) for b in loader),
+            jax.random.fold_in(jax.random.key(cfg.seed), epoch),
             epoch=epoch, cycle=cycle, print_freq=cfg.print_freq)
     return state
 
@@ -198,8 +215,9 @@ def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
                           uniform=cfg.uniform, no_mutual=cfg.no_mutual)
         score_fn = strategy_state.setdefault(
             "cald_fn", make_cald_score_fn(model, ccfg, cfg.num_classes))
+        put_batch, _ = _mesh_hooks()
         consistency, corrs = score_pool(score_fn, variables, pool_loader(), key,
-                                        subset)
+                                        subset, put=put_batch)
         labeled_mean = labeled_class_counts(dataset, pool.labeled,
                                             cfg.num_classes - 1)
         picked = cald_select(consistency, corrs, labeled_mean, budget, ccfg)

@@ -44,6 +44,11 @@ def make_norm(kind: str, dtype=None) -> Callable[[int], nn.Module]:
     if kind == "frozen":
         return lambda features: FrozenBatchNorm(features)
     if kind == "group":
-        return lambda features: nn.GroupNorm(num_groups=min(32, features),
-                                             dtype=dtype)
+        import math
+
+        # largest group count <= 32 that divides the channel count
+        # (MobileNetV3 widths like 72/120/960 are not multiples of 32)
+        return lambda features: nn.GroupNorm(
+            num_groups=math.gcd(features, 32) if features % 32 else 32,
+            dtype=dtype)
     raise ValueError(f"unknown norm kind {kind!r}")

@@ -115,9 +115,11 @@ def make_cald_score_fn(model, cfg: CALDConfig, num_classes: int) -> Callable:
 
 
 def score_pool(score_fn: Callable, variables, loader, key: jax.Array,
-               pool_indices: Sequence[int]):
+               pool_indices: Sequence[int], put=None):
     """Drive score_fn over a pool loader; de-duplicates padded batch entries.
 
+    ``put`` optionally shards each batch over a device mesh (the pool is the
+    embarrassingly parallel axis — SURVEY.md §2.7).
     Returns (consistency (N,), cls_corrs (N, C-1)) aligned with pool_indices.
     """
     pos = {int(idx): i for i, idx in enumerate(pool_indices)}
@@ -126,6 +128,8 @@ def score_pool(score_fn: Callable, variables, loader, key: jax.Array,
     cls_corrs = None
     seen = np.zeros((n,), bool)
     for bi, batch in enumerate(loader):
+        if put is not None:
+            batch = put(batch)
         c, corr = score_fn(variables, jnp.asarray(batch.images),
                            jnp.asarray(batch.valid_hw),
                            jax.random.fold_in(key, bi))
