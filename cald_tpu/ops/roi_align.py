@@ -114,9 +114,13 @@ def fpn_level_assignment(rois: jnp.ndarray, *, k_min: int = 2, k_max: int = 5,
     return (lvl - k_min).astype(jnp.int32)
 
 
+WINDOW_SPAN = 64
+
+
 def multi_scale_roi_align(feats, rois: jnp.ndarray, *, spatial_scales,
                           output_size: int = 7, sampling_ratio: int = 2,
-                          chunk_size: int = 256) -> jnp.ndarray:
+                          chunk_size: int = 256,
+                          method: str = "points") -> jnp.ndarray:
     """RoIAlign over an FPN pyramid with per-roi level assignment.
 
     feats: list of (H_l, W_l, C) arrays (finest first); spatial_scales: matching
@@ -128,6 +132,18 @@ def multi_scale_roi_align(feats, rois: jnp.ndarray, *, spatial_scales,
     level offsets — one gather pass instead of aligning each roi at all levels
     (4x less gather traffic than the masked-sum formulation; RoIAlign is the
     detect path's dominant cost).
+
+    method:
+      'points' (default): pointwise paired-corner (2, C) slices — exact for
+        every roi. Measured at ~35M gather descriptors/s, which is XLA's
+        practical gather ceiling on v5e (PERF.md).
+      'window': one contiguous (WINDOW_SPAN, C) row slice per (roi,
+        sample-row) + per-roi interpolation matmul. Exact while the roi's
+        width at its assigned level is <= span - 2 (level mapper keeps
+        sqrt(area)/stride in [14, 28), covering aspect ratios to ~4.5; wider
+        rois clamp the outermost columns). SLOWER in practice: XLA lowers
+        large-slice gathers ~35x less efficiently than small ones (1M vs 35M
+        descriptors/s) — kept for the planned Pallas-DMA variant to reuse.
 
     The level-mapper range is derived from the scales like torchvision's
     ``MultiScaleRoIAlign.setup_scales`` (k = -log2(scale)), so single-level and
@@ -146,6 +162,11 @@ def multi_scale_roi_align(feats, rois: jnp.ndarray, *, spatial_scales,
     sizes = [f.shape[0] * f.shape[1] for f in feats]
     offs = jnp.asarray(np.cumsum([0] + sizes[:-1]), jnp.int32)
     flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)  # (P, C)
+    if method == "window":
+        # tail pad: window slices near the last rows must never clamp their
+        # start (that would silently shift the window content)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((WINDOW_SPAN, c), flat.dtype)], axis=0)
     scales = jnp.asarray(list(spatial_scales), jnp.float32)
 
     n = rois.shape[0]
@@ -185,21 +206,60 @@ def multi_scale_roi_align(feats, rois: jnp.ndarray, *, spatial_scales,
 
         w_i = w_l.astype(jnp.int32)
 
-        def take_pair(yi):                                             # (R,S,S,2,C)
-            """For each sample point: flat rows [p, p+1] = the (x0, x0+1) pair
-            of row yi — one contiguous (2, C) slice per point."""
-            p = (off[:, None, None] + yi[:, :, None] * w_i[:, None, None]
-                 + x0[:, None, :]).reshape(-1)
-            g = jax.vmap(lambda i: jax.lax.dynamic_slice(flat, (i, 0), (2, c)))(p)
-            return g.reshape(r, s, s, 2, c)
+        if method == "window":
+            span = WINDOW_SPAN
+            # per-roi window start covering the (ascending) x sample positions
+            xw0 = jnp.clip(x0[:, 0], 0,
+                           jnp.maximum(w_i - span, 0)).astype(jnp.int32)  # (R,)
+            rx = jnp.clip(x[:, :] - xw0[:, None].astype(jnp.float32),
+                          0.0, float(span - 2))                        # (R, S)
+            rx0 = jnp.floor(rx)
+            rfrac = (rx - rx0).astype(flat.dtype)
+            kk = jnp.arange(span, dtype=jnp.float32)[None, None, :]
+            wx = (jnp.where(kk == rx0[:, :, None], (1.0 - rfrac)[:, :, None], 0.0)
+                  + jnp.where(kk == rx0[:, :, None] + 1.0, rfrac[:, :, None], 0.0))
+            wx = jnp.where(in_x[:, :, None], wx, 0.0).astype(flat.dtype)  # (R,S,span)
+            # the sub-bin MEAN is linear: fold it into the weights/rows now —
+            # halves every intermediate and the einsum output is final
+            sr = sampling_ratio
+            wx_pool = wx.reshape(r, output_size, sr, span).mean(axis=2)
 
-        def lerp_x(pair):                                              # (R,S,S,C)
-            return pair[..., 0, :] * hx[..., None] + pair[..., 1, :] * lx[..., None]
+            def take_rows(yi):                                         # (R,S,span,C)
+                p = (off[:, None] + yi * w_i[:, None] + xw0[:, None]).reshape(-1)
+                g = jax.vmap(lambda i: jax.lax.dynamic_slice(
+                    flat, (i, 0), (span, c)))(p)
+                return g.reshape(r, s, span, c)
 
-        out = hy[..., None] * lerp_x(take_pair(y0))
-        out += ly[..., None] * lerp_x(take_pair(y0 + 1))
-        inside = (in_y[:, :, None] & in_x[:, None, :])[..., None]
-        out = jnp.where(inside, out, jnp.zeros((), flat.dtype))
+            rows = (take_rows(y0) * (1.0 - ly)[..., None]
+                    + take_rows(y0 + 1) * ly[..., None])               # (R,S,span,C)
+            rows = jnp.where(in_y[..., None, None], rows,
+                             jnp.zeros((), flat.dtype))
+            rows_pool = rows.reshape(r, output_size, sr, span, c).mean(axis=2)
+            # horizontal interpolation as a per-roi matmul on the MXU
+            # (HIGHEST precision: the TPU default runs f32 matmuls as bf16
+            # passes — 3e-3 error that breaks torchvision-parity tests; bf16
+            # feature inputs are unaffected either way)
+            return jnp.einsum("rxk,rykc->ryxc", wx_pool, rows_pool,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST
+                              ).astype(jnp.float32)
+        else:
+            def take_pair(yi):                                         # (R,S,S,2,C)
+                """For each sample point: flat rows [p, p+1] = the (x0, x0+1)
+                pair of row yi — one contiguous (2, C) slice per point."""
+                p = (off[:, None, None] + yi[:, :, None] * w_i[:, None, None]
+                     + x0[:, None, :]).reshape(-1)
+                g = jax.vmap(lambda i: jax.lax.dynamic_slice(flat, (i, 0), (2, c)))(p)
+                return g.reshape(r, s, s, 2, c)
+
+            def lerp_x(pair):                                          # (R,S,S,C)
+                return (pair[..., 0, :] * hx[..., None]
+                        + pair[..., 1, :] * lx[..., None])
+
+            out = hy[..., None] * lerp_x(take_pair(y0))
+            out += ly[..., None] * lerp_x(take_pair(y0 + 1))
+            inside = (in_y[:, :, None] & in_x[:, None, :])[..., None]
+            out = jnp.where(inside, out, jnp.zeros((), flat.dtype))
         # the 2x2 sub-bin mean accumulates in f32
         return out.reshape(r, output_size, sampling_ratio, output_size,
                            sampling_ratio, c).astype(jnp.float32).mean(axis=(2, 4))
