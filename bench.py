@@ -66,7 +66,7 @@ def run(batch_size: int = 8, iters: int = 10, canvas_hw=(640, 1024)) -> dict:
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     try:
         result = run(batch_size=batch_size)
     except Exception as e:  # OOM etc: retry smaller before giving up

@@ -5,10 +5,14 @@ TPU-native replacement for torchvision's C++/CUDA ``roi_align`` and
 sampling semantics (``aligned=False``, ``sampling_ratio=2``) and the FPN level
 assignment formula ``k = floor(4 + log2(sqrt(area)/224))`` clamped to [2, 5].
 
-Design: all sample-point coordinates for a chunk of RoIs are computed at once and
-resolved with four gathers + bilinear weighting; the (out*sr, out*sr) grid is then
-mean-pooled to (out, out). RoIs are processed in fixed-size chunks via ``lax.map``
-to bound the transient gather footprint in HBM.
+Multi-scale design (the detect path's dominant cost — see PERF.md for the
+measured formulation shoot-out): the pyramid is flattened to one (P, C) buffer,
+each roi gathers only at its assigned level, every bilinear x-pair is ONE
+contiguous (2, C) slice with clamped-base weights, gathered corners stay in the
+feature dtype (bf16), and rois are processed in fixed-size chunks via
+``lax.map`` to bound the transient footprint. A row-window + interpolation
+matmul variant (method='window') is kept as the blueprint for a future
+Pallas-DMA kernel.
 """
 
 from __future__ import annotations

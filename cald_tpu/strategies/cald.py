@@ -83,8 +83,13 @@ def make_cald_score_fn(model, cfg: CALDConfig, num_classes: int) -> Callable:
         base_corr = class_correlation(ref_scores, ref_labels, ref_valid,
                                       num_classes - 1)
 
+        # augs run in the model's compute dtype: the warp/noise kernels are
+        # memory-bound and the detector casts to bf16 anyway (+-0.5 pixel-value
+        # rounding on the augmented copies only)
+        aug_dtype = getattr(model.cfg, "compute_dtype", "float32")
+        aug_in = images if aug_dtype == "float32" else images.astype(aug_dtype)
         aug_images, aug_boxes, aug_hw = build_aug_batch(
-            images, ref_boxes, ref_valid, valid_hw, key, aug_names)
+            aug_in, ref_boxes, ref_valid, valid_hw, key, aug_names)
         a = len(aug_names)
         dets = model.apply(variables,
                            aug_images.reshape((b * a,) + aug_images.shape[2:]),
