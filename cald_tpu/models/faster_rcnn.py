@@ -232,7 +232,8 @@ class FasterRCNN(nn.Module):
         b, n = props.shape[:2]
         scales = [1.0 / s for s in cfg.strides[: cfg.roi_levels]]
         box_feats = jax.vmap(
-            lambda *fs_rois: pool_box_features(fs_rois[:-1], fs_rois[-1], scales)
+            lambda *fs_rois: pool_box_features(fs_rois[:-1], fs_rois[-1], scales,
+                                               inference=True)
         )(*pyramid[: cfg.roi_levels], props)
         rep = self.box_head(box_feats.reshape(b * n, -1))
         class_logits, box_regression = self.box_predictor(rep)
