@@ -3,6 +3,13 @@
 Matches the math of /root/reference/cald/cald_helper.py:56-85 and torchvision's
 functional brightness/contrast/saturation adjustments, restricted to the valid
 (h, w) region of the fixed canvas so zero padding stays zero.
+
+Pixel convention: this pipeline carries RAW 0..255 pixels end to end
+(cald_tpu/data/batching.py). The reference instead converts to 0..1 via
+``to_tensor`` before each photometric op, so its constants are rescaled here:
+``randn * std / 255`` on 0..1 pixels == ``randn * std`` on 0..255 pixels, and
+torchvision's [0, 1] clamp in adjust_brightness/contrast/saturation becomes
+[0, 255]. Salt-pepper (image max/min) and channel swaps are scale-invariant.
 """
 
 from __future__ import annotations
@@ -21,8 +28,10 @@ def _valid_mask(image, valid_hw):
 
 
 def gaussian_noise(image: jnp.ndarray, valid_hw, key: jax.Array, std: float = 1.0):
-    """image + N(0,1) * std/255 on the valid region (cald_helper.py:72-75)."""
-    noise = jax.random.normal(key, image.shape, image.dtype) * (std / 255.0)
+    """image + N(0,1) * std on the valid region of a 0..255 image — equal to the
+    reference's ``+ randn * std / 255`` on its 0..1 tensor (cald_helper.py:72-75).
+    Like the reference, no clamp: the detector normalize absorbs the range."""
+    noise = jax.random.normal(key, image.shape, image.dtype) * std
     return jnp.where(_valid_mask(image, valid_hw), image + noise, image)
 
 
@@ -49,18 +58,19 @@ def color_swap(image: jnp.ndarray, valid_hw, key: jax.Array):
     return jnp.where(_valid_mask(image, valid_hw), swapped, image)
 
 
-def color_adjust(image: jnp.ndarray, valid_hw, factor: float):
+def color_adjust(image: jnp.ndarray, valid_hw, factor: float,
+                 white_level: float = 255.0):
     """brightness x f, then contrast x f, then saturation x f, each clamped to
-    [0, 1] (cald_helper.py:65-69 -> torchvision functional semantics)."""
+    [0, white_level] (cald_helper.py:65-69 -> torchvision functional semantics,
+    whose clamp bound is 1.0 on its 0..1 tensors; 255 on this raw pipeline)."""
     mask = _valid_mask(image, valid_hw)
-    out = jnp.clip(image * factor, 0.0, 1.0)  # brightness
+    out = jnp.clip(image * factor, 0.0, white_level)  # brightness
 
     gray = jnp.tensordot(out, _GRAY.astype(out.dtype), axes=[[-1], [0]])
     n_valid = jnp.maximum(jnp.sum(mask[..., 0]), 1)
     # torchvision adjust_contrast blends with the mean of the grayscale image.
     mean_gray = jnp.sum(jnp.where(mask[..., 0], gray, 0.0)) / n_valid
-    out = jnp.clip(factor * out + (1 - factor) * mean_gray, 0.0, 1.0)  # contrast
-
+    out = jnp.clip(factor * out + (1 - factor) * mean_gray, 0.0, white_level)
     gray = jnp.tensordot(out, _GRAY.astype(out.dtype), axes=[[-1], [0]])[..., None]
-    out = jnp.clip(factor * out + (1 - factor) * gray, 0.0, 1.0)  # saturation
+    out = jnp.clip(factor * out + (1 - factor) * gray, 0.0, white_level)
     return jnp.where(mask, out, image)

@@ -16,8 +16,10 @@ CANVAS = (64, 64)
 
 
 def make_canvas(rng, h, w):
+    # Production pixel range: raw 0..255 (cald_tpu/data/batching.py), floor
+    # kept above 0 so valid content is distinguishable from the zero padding.
     img = np.zeros(CANVAS + (3,), np.float32)
-    img[:h, :w] = rng.uniform(0.05, 1.0, (h, w, 3))
+    img[:h, :w] = rng.uniform(13.0, 255.0, (h, w, 3))
     return img
 
 
@@ -137,9 +139,23 @@ def test_gaussian_noise_only_valid_region(rng):
     np.testing.assert_allclose(out[h:], 0.0)
 
 
+def test_gaussian_noise_matches_std_scale(rng):
+    """std=48 on a 0..255 image must perturb at ~48-pixel scale, matching the
+    reference's +randn*48/255 on its 0..1 tensor (cald_helper.py:72-75). The
+    round-1 bug perturbed by <1 pixel."""
+    h, w = 64, 64
+    img = make_canvas(rng, h, w)
+    out = np.asarray(gaussian_noise(jnp.asarray(img), jnp.asarray([h, w]),
+                                    jax.random.key(3), std=48.0))
+    diff = (out[:h, :w] - img[:h, :w]).ravel()
+    # E|N(0, 48^2)| = 48*sqrt(2/pi) ~= 38.3
+    assert 30.0 < np.abs(diff).mean() < 48.0, np.abs(diff).mean()
+    assert 40.0 < diff.std() < 56.0, diff.std()
+
+
 def test_salt_pepper_sets_extremes(rng):
     h, w = 32, 32
-    img = make_canvas(rng, h, w) * 0.5 + 0.25  # values in [0.26, 0.75]
+    img = make_canvas(rng, h, w) * 0.5 + 64.0  # values in ~[70, 191]
     out = np.asarray(salt_pepper_noise(jnp.asarray(img), jnp.asarray([h, w]),
                                        jax.random.key(0), prob=0.2))
     big, small = img[:h, :w].max(), img[:h, :w].min()
@@ -152,7 +168,23 @@ def test_color_adjust_factor_one_identity(rng):
     h, w = 20, 20
     img = make_canvas(rng, h, w)
     out = np.asarray(color_adjust(jnp.asarray(img), jnp.asarray([h, w]), 1.0))
-    np.testing.assert_allclose(out, img, atol=1e-6)
+    np.testing.assert_allclose(out, img, atol=1e-4)
+
+
+def test_color_adjust_keeps_image_content(rng):
+    """factor=2 on a 0..255 image must return a real (partially saturated)
+    image, not a canvas clamped flat to the bound (the round-1 bug returned
+    all-1.0 because the clamp bound was the 0..1 white level)."""
+    h, w = 32, 32
+    img = make_canvas(rng, h, w)
+    out = np.asarray(color_adjust(jnp.asarray(img), jnp.asarray([h, w]), 2.0))
+    v = out[:h, :w]
+    assert v.max() <= 255.0 + 1e-3 and v.min() >= 0.0
+    assert v.std() > 20.0, v.std()        # real structure survives
+    assert (v >= 254.0).mean() < 0.9      # not everything clamps to white
+    # unsaturated pixels keep rank order with the input per channel
+    m = v < 250.0
+    assert np.corrcoef(v[m].ravel(), img[:h, :w][m].ravel())[0, 1] > 0.5
 
 
 def test_build_aug_batch_shapes(rng):

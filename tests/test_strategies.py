@@ -202,3 +202,36 @@ class TestRandom:
     def test_random_select(self):
         got = random_select(100, 10, np.random.default_rng(0))
         assert len(got) == 10 and len(set(got.tolist())) == 10
+
+
+class TestLSC:
+    """LS/C end-to-end on the tiny detector — guards the 0..255 noise scale
+    (round-1 bug: std/255 noise on raw pixels made the perturbation invisible,
+    so every image scored its noise-free stability)."""
+
+    def test_noise_actually_moves_the_score(self, rng):
+        from tests.test_models import tiny_frcnn, fake_batch
+        from cald_tpu.strategies.lsc import make_lsc_score_fn
+
+        model = tiny_frcnn()
+        images, valid_hw, *_ = fake_batch(rng)
+        variables = jax.jit(model.init)(jax.random.key(0), images, valid_hw)
+
+        real = make_lsc_score_fn(model, stds=(8.0, 24.0, 48.0))
+        nonoise = make_lsc_score_fn(model, stds=(1e-6, 1e-6, 1e-6))
+        s_real = np.asarray(real(variables, images, valid_hw, jax.random.key(1)))
+        s_zero = np.asarray(nonoise(variables, images, valid_hw, jax.random.key(1)))
+
+        assert s_real.shape == (2,)
+        assert np.isfinite(s_real).all() and np.isfinite(s_zero).all()
+        # with ~zero noise each ref box re-matches itself (stability ~1);
+        # real noise must perturb the detections and move the score.
+        assert not np.allclose(s_real, s_zero, atol=1e-4), (s_real, s_zero)
+
+    def test_scores_hand_computed_formula(self):
+        # one image, 2 ref boxes, 2 noise levels, synthetic IoUs via direct
+        # formula check: score = sum(pm*stab)/sum(pm) - max(1-pm)
+        pm = np.array([0.9, 0.6])
+        stab = np.array([0.8, 0.5])
+        want = (pm * stab).sum() / pm.sum() - (1 - pm).max()
+        assert want == pytest.approx(1.02 / 1.5 - 0.4)
