@@ -20,6 +20,9 @@ class ALConfig:
     model: str = "faster"               # faster | retina | faster_mobilenet | retina_mobilenet
     norm: str = "frozen"
     tiny: bool = False                  # miniature backbone (tests/smoke)
+    # torchvision ImageNet checkpoint (.pth/.npz) for the backbone — the analog
+    # of the reference's pretrained_backbone=True (frcnn_la.py:283)
+    pretrained_backbone: str = ""
     # strategy
     strategy: str = "cald"              # cald|random|ll4al|vaal|ssm|ltc|lsc
     augs: str = "FCDR"
@@ -140,6 +143,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-eval", dest="eval_every_cycle", action="store_false")
     p.add_argument("--tiny", action="store_true",
                    help="miniature backbone for smoke tests")
+    p.add_argument("--pretrained-backbone", dest="pretrained_backbone",
+                   default="", metavar="PATH",
+                   help="torchvision ImageNet checkpoint (.pth or .npz) to "
+                        "load into the backbone each cycle (reference "
+                        "pretrained_backbone=True)")
     p.add_argument("--norm", default="frozen", choices=["frozen", "group"])
     p.add_argument("--min-size", dest="min_size", default=None, type=int)
     p.add_argument("--max-size", dest="max_size", default=None, type=int)

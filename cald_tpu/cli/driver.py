@@ -107,6 +107,32 @@ def _loaders(cfg: ALConfig, dataset, indices, *, batch_size, train: bool,
         num_workers=cfg.workers, seed=seed)
 
 
+_PRETRAINED_SD_CACHE: dict[str, dict] = {}
+
+
+def _apply_pretrained_backbone(state, cfg: ALConfig):
+    """Swap the freshly-initialized backbone for converted torchvision ImageNet
+    weights — the analog of pretrained_backbone=True in the reference
+    constructors (frcnn_la.py:283, retinanet_cal.py:617,685). Runs every cycle
+    because the reference rebuilds the model per cycle from pretrained weights;
+    the host-side file read is cached across cycles."""
+    if not cfg.pretrained_backbone:
+        return state
+    from cald_tpu.convert.torchvision_import import load_backbone_into_variables
+
+    sd = _PRETRAINED_SD_CACHE.get(cfg.pretrained_backbone)
+    if sd is None:
+        from cald_tpu.convert.pth_reader import load_state_dict
+
+        sd = load_state_dict(cfg.pretrained_backbone)
+        _PRETRAINED_SD_CACHE[cfg.pretrained_backbone] = sd
+    new = load_backbone_into_variables(
+        {"params": state.params, "frozen": state.frozen}, sd)
+    to_dev = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    return state.replace(params=to_dev(new["params"]),
+                         frozen=to_dev(new["frozen"]))
+
+
 def _fresh_state(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
                  canvases, group_ids, *, cycle: int):
     """Fresh model + optimizer for a cycle (the reference re-creates the model
@@ -120,12 +146,13 @@ def _fresh_state(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
     sched = multistep_with_warmup(cfg.lr, steps_per_epoch,
                                   milestones=cfg.lr_steps, gamma=cfg.lr_gamma,
                                   warmup_iters=cfg.warmup_iters)
-    return create_train_state(
+    state = create_train_state(
         model, example,
         lambda params: make_sgd(sched, momentum=cfg.momentum,
                                 weight_decay=cfg.weight_decay, params=params,
                                 frozen_prefixes=frozen_prefixes),
         seed=cfg.seed)
+    return _apply_pretrained_backbone(state, cfg)
 
 
 def _mesh_hooks():
@@ -402,6 +429,7 @@ def _train_cycle_ll4al(cfg, model, frozen_prefixes, lossnet, dataset, pool,
         lambda p: make_sgd(sched, momentum=cfg.momentum,
                            weight_decay=cfg.weight_decay, params=p,
                            frozen_prefixes=frozen_prefixes), seed=cfg.seed)
+    task_state = _apply_pretrained_backbone(task_state, cfg)
     # LossNet params need example features
     feats = jax.eval_shape(
         lambda v: model.apply(v, example[0], method="extract_features"),
@@ -418,6 +446,7 @@ def _train_cycle_ll4al(cfg, model, frozen_prefixes, lossnet, dataset, pool,
                           train=True, canvases=canvases, group_ids=group_ids,
                           seed=cfg.seed + cycle * 1000 + epoch)
         detach = epoch >= cfg.task_epochs
+        metrics = None
         for bi, batch in enumerate(loader):
             rng = jax.random.fold_in(jax.random.key(cfg.seed + 3),
                                      int(task_state.step))
@@ -426,8 +455,9 @@ def _train_cycle_ll4al(cfg, model, frozen_prefixes, lossnet, dataset, pool,
                 jnp.asarray(batch.valid_hw), jnp.asarray(batch.boxes),
                 jnp.asarray(batch.labels), jnp.asarray(batch.box_valid), rng,
                 detach_features=detach)
-        print(f"ll4al cycle {cycle} epoch {epoch}: "
-              f"loss {float(metrics['loss']):.4f}")
+        last = ("empty loader" if metrics is None
+                else f"loss {float(metrics['loss']):.4f}")
+        print(f"ll4al cycle {cycle} epoch {epoch}: {last}")
     return task_state, ll_state
 
 

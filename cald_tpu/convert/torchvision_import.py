@@ -67,13 +67,88 @@ def load_resnet50_imagenet(state_dict: dict, params: dict, frozen: dict,
     return p, f
 
 
+def load_mobilenetv3_imagenet(state_dict: dict, params: dict, frozen: dict):
+    """Fill a MobileNetV3Backbone (norm='frozen') variables pair from a
+    torchvision ``mobilenet_v3_large`` ImageNet state_dict.
+
+    torchvision layout (/root/reference/detection/mobilenetv3.py:94-180):
+      features.0.{0,1}            stem ConvBNActivation
+      features.{i+1}.block.{j}    InvertedResidual sub-blocks, in order
+                                  [expand?, depthwise, SE?, project]; SE keys
+                                  are fc1/fc2 Conv2d-1x1 with bias
+      features.16.{0,1}           final 960-ch ConvBNActivation
+      classifier.*                dropped (detection uses the trunk only)
+
+    torchvision's mobilenet BN eps is 1e-3 (mobilenetv3.py:161) while
+    FrozenBatchNorm here uses 1e-5, so the eps delta is folded into the stored
+    variance: scale/sqrt((var+Δ)+1e-5) == scale/sqrt(var+1e-3).
+    """
+    from cald_tpu.models.mobilenetv3 import LARGE_CFG
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    import copy
+
+    p = copy.deepcopy(params)
+    f = copy.deepcopy(frozen)
+    eps_delta = 1e-3 - 1e-5
+
+    def set_conv(dst: dict, torch_name: str, *, bias: bool = False):
+        w = torch_conv_to_flax(sd[f"{torch_name}.weight"])
+        if dst["kernel"].shape != w.shape:
+            raise ValueError(f"{torch_name}: shape {w.shape} != "
+                             f"{dst['kernel'].shape}")
+        dst["kernel"] = w
+        if bias:
+            dst["bias"] = np.asarray(sd[f"{torch_name}.bias"], np.float32)
+
+    def set_bn(dst: dict, torch_prefix: str):
+        _bn(dst, sd, torch_prefix)
+        dst["var"] = dst["var"] + eps_delta
+
+    set_conv(p["stem"], "features.0.0")
+    set_bn(f["FrozenBatchNorm_0"], "features.0.1")
+
+    for i, cfg in enumerate(LARGE_CFG):
+        name, t = f"block{i}", f"features.{i + 1}.block"
+        j = bn = 0
+        if cfg.expand != cfg.in_ch:
+            set_conv(p[name]["expand"], f"{t}.{j}.0")
+            set_bn(f[name][f"FrozenBatchNorm_{bn}"], f"{t}.{j}.1")
+            j, bn = j + 1, bn + 1
+        # depthwise: torch (E,1,k,k) groups=E -> flax HWIO (k,k,1,E)
+        set_conv(p[name]["depthwise"], f"{t}.{j}.0")
+        set_bn(f[name][f"FrozenBatchNorm_{bn}"], f"{t}.{j}.1")
+        j, bn = j + 1, bn + 1
+        if cfg.se:
+            set_conv(p[name]["se"]["fc1"], f"{t}.{j}.fc1", bias=True)
+            set_conv(p[name]["se"]["fc2"], f"{t}.{j}.fc2", bias=True)
+            j += 1
+        set_conv(p[name]["project"], f"{t}.{j}.0")
+        set_bn(f[name][f"FrozenBatchNorm_{bn}"], f"{t}.{j}.1")
+
+    set_conv(p["lastconv"], "features.16.0")
+    set_bn(f["FrozenBatchNorm_1"], "features.16.1")
+    return p, f
+
+
+def _backbone_kind(params: dict) -> str:
+    """Sniff which converter a backbone param sub-tree needs."""
+    if "conv1" in params and "layer1_0" in params:
+        return "resnet50"
+    if "stem" in params and "block0" in params:
+        return "mobilenetv3"
+    raise ValueError(f"unrecognized backbone param tree: {sorted(params)[:8]}")
+
+
 def load_backbone_into_variables(variables: dict, state_dict: dict,
                                  backbone_key: str = "backbone") -> dict:
     """Convenience: returns a new full variables dict with the backbone swapped
-    for converted torchvision weights."""
-    p, f = load_resnet50_imagenet(state_dict,
-                                  variables["params"][backbone_key],
-                                  variables["frozen"][backbone_key])
+    for converted torchvision weights (ResNet-50 or MobileNetV3-Large,
+    auto-detected from the param tree)."""
+    bb = variables["params"][backbone_key]
+    loader = (load_resnet50_imagenet if _backbone_kind(bb) == "resnet50"
+              else load_mobilenetv3_imagenet)
+    p, f = loader(state_dict, bb, variables["frozen"][backbone_key])
     new = {
         "params": {**variables["params"], backbone_key: p},
         "frozen": {**variables["frozen"], backbone_key: f},
@@ -82,3 +157,15 @@ def load_backbone_into_variables(variables: dict, state_dict: dict,
         if k not in new:
             new[k] = variables[k]
     return new
+
+
+def load_pretrained_backbone(variables: dict, path: str,
+                             backbone_key: str = "backbone") -> dict:
+    """End-to-end: read a torchvision ImageNet checkpoint (``.pth``/``.npz``)
+    and return variables with the backbone replaced. This is the TPU analog of
+    ``pretrained_backbone=True`` in the reference constructors
+    (/root/reference/detection/frcnn_la.py:283, retinanet_cal.py:617,685)."""
+    from cald_tpu.convert.pth_reader import load_state_dict
+
+    return load_backbone_into_variables(variables, load_state_dict(path),
+                                        backbone_key=backbone_key)

@@ -95,3 +95,212 @@ def test_shape_mismatch_raises(rng):
     sd["conv1.weight"] = torch.zeros((64, 3, 3, 3))  # wrong kernel size
     with pytest.raises(ValueError, match="conv1"):
         load_resnet50_imagenet(sd, variables["params"], variables["frozen"])
+
+
+# ---------------------------------------------------------------------------
+# torch-free .pth reader
+# ---------------------------------------------------------------------------
+
+def test_pth_reader_roundtrips_torch_save(tmp_path, rng):
+    from cald_tpu.convert.pth_reader import load_state_dict
+
+    sd = {
+        "w": torch.tensor(rng.normal(size=(4, 3, 3, 3)).astype(np.float32)),
+        "mean": torch.tensor(rng.normal(size=(7,)).astype(np.float64)),
+        "param": torch.nn.Parameter(torch.ones(2, 5)),
+        "count": torch.tensor(42, dtype=torch.int64),
+        "half": torch.tensor(rng.normal(size=(6,)).astype(np.float16)),
+        "noncontig": torch.tensor(
+            rng.normal(size=(6, 4)).astype(np.float32)).t(),
+    }
+    path = str(tmp_path / "ckpt.pth")
+    torch.save(sd, path)
+    out = load_state_dict(path)
+    assert set(out) == set(sd)
+    for k, v in sd.items():
+        assert out[k].shape == tuple(v.shape), k
+        np.testing.assert_allclose(np.asarray(out[k], np.float64),
+                                   v.detach().numpy().astype(np.float64))
+
+
+def test_pth_reader_unwraps_state_dict_wrapper(tmp_path):
+    from cald_tpu.convert.pth_reader import load_state_dict
+
+    path = str(tmp_path / "wrapped.pth")
+    torch.save({"state_dict": {"a.weight": torch.zeros(3)}, "epoch": 7}, path)
+    out = load_state_dict(path)
+    assert list(out) == ["a.weight"]
+
+
+def test_pth_reader_refuses_arbitrary_globals(tmp_path):
+    """The restricted unpickler must reject anything beyond tensor rebuilds —
+    loading a checkpoint must never execute arbitrary pickled code."""
+    import pickle
+    import zipfile
+
+    from cald_tpu.convert.pth_reader import read_pth
+
+    path = str(tmp_path / "evil.pth")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("evil/data.pkl", pickle.dumps({"x": print}))
+    with pytest.raises(Exception, match="refusing to unpickle"):
+        read_pth(path)
+
+
+def test_npz_state_dict(tmp_path, rng):
+    from cald_tpu.convert.pth_reader import load_state_dict
+
+    path = str(tmp_path / "w.npz")
+    np.savez(path, **{"conv1.weight": rng.normal(size=(4, 3, 3, 3))})
+    out = load_state_dict(path)
+    assert out["conv1.weight"].shape == (4, 3, 3, 3)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV3-Large converter
+# ---------------------------------------------------------------------------
+
+def _fake_mobilenetv3_sd(rng):
+    """mobilenet_v3_large-shaped state_dict with torchvision names
+    (/root/reference/detection/mobilenetv3.py:94-180)."""
+    from cald_tpu.models.mobilenetv3 import LARGE_CFG, _make_divisible
+
+    sd = {}
+
+    def conv(name, cout, cin, k, bias=False):
+        std = (2.0 / max(cin * k * k, 1)) ** 0.5
+        sd[name + ".weight"] = torch.tensor(
+            (std * rng.normal(size=(cout, cin, k, k))).astype(np.float32))
+        if bias:
+            sd[name + ".bias"] = torch.tensor(
+                rng.normal(size=(cout,)).astype(np.float32))
+
+    def bn(name, c):
+        sd[name + ".weight"] = torch.tensor(
+            np.abs(rng.normal(size=(c,))).astype(np.float32) + 0.5)
+        sd[name + ".bias"] = torch.tensor(rng.normal(size=(c,)).astype(np.float32))
+        sd[name + ".running_mean"] = torch.tensor(
+            rng.normal(size=(c,)).astype(np.float32))
+        sd[name + ".running_var"] = torch.tensor(
+            np.abs(rng.normal(size=(c,))).astype(np.float32) + 0.5)
+
+    conv("features.0.0", 16, 3, 3)
+    bn("features.0.1", 16)
+    for i, c in enumerate(LARGE_CFG):
+        t, j = f"features.{i + 1}.block", 0
+        if c.expand != c.in_ch:
+            conv(f"{t}.{j}.0", c.expand, c.in_ch, 1)
+            bn(f"{t}.{j}.1", c.expand)
+            j += 1
+        conv(f"{t}.{j}.0", c.expand, 1, c.kernel)  # depthwise, groups=expand
+        bn(f"{t}.{j}.1", c.expand)
+        j += 1
+        if c.se:
+            sq = _make_divisible(c.expand // 4)
+            conv(f"{t}.{j}.fc1", sq, c.expand, 1, bias=True)
+            conv(f"{t}.{j}.fc2", c.expand, sq, 1, bias=True)
+            j += 1
+        conv(f"{t}.{j}.0", c.out_ch, c.expand, 1)
+        bn(f"{t}.{j}.1", c.out_ch)
+    conv("features.16.0", 960, 160, 1)
+    bn("features.16.1", 960)
+    return sd
+
+
+def test_mobilenetv3_import_fills_all_leaves(rng):
+    from cald_tpu.convert.torchvision_import import load_mobilenetv3_imagenet
+    from cald_tpu.models.mobilenetv3 import MobileNetV3Backbone
+
+    model = MobileNetV3Backbone(returned=("c5",), norm="frozen")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    sd = _fake_mobilenetv3_sd(rng)
+    p, f = load_mobilenetv3_imagenet(sd, variables["params"], variables["frozen"])
+
+    jax.tree.map(lambda a, b: None if a.shape == b.shape else 1 / 0,
+                 variables["params"], p)
+    jax.tree.map(lambda a, b: None if a.shape == b.shape else 1 / 0,
+                 variables["frozen"], f)
+    # spot-check a depthwise kernel (torch (E,1,k,k) -> flax (k,k,1,E))
+    np.testing.assert_allclose(
+        np.asarray(p["block1"]["depthwise"]["kernel"]),
+        torch_conv_to_flax(sd["features.2.block.1.0.weight"].numpy()))
+    # SE bias round-trips
+    np.testing.assert_allclose(
+        np.asarray(p["block3"]["se"]["fc1"]["bias"]),
+        sd["features.4.block.2.fc1.bias"].numpy())
+    # BN eps folding: frozen var carries the (1e-3 - 1e-5) delta so the
+    # normalization equals torchvision's eps=1e-3 formula
+    tv_var = sd["features.0.1.running_var"].numpy()
+    np.testing.assert_allclose(np.asarray(f["FrozenBatchNorm_0"]["var"]),
+                               tv_var + (1e-3 - 1e-5), rtol=1e-6)
+
+    out = model.apply({"params": p, "frozen": f}, x)
+    assert np.isfinite(np.asarray(out["c5"])).all()
+
+
+def test_mobilenetv3_bn_matches_torch_eps(rng):
+    """One converted FrozenBatchNorm must equal torch BN eval math at eps=1e-3."""
+    from cald_tpu.convert.torchvision_import import load_mobilenetv3_imagenet
+    from cald_tpu.models.mobilenetv3 import MobileNetV3Backbone
+
+    model = MobileNetV3Backbone(returned=("c0",), norm="frozen")
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    sd = _fake_mobilenetv3_sd(rng)
+    _, f = load_mobilenetv3_imagenet(sd, variables["params"], variables["frozen"])
+    g = f["FrozenBatchNorm_0"]
+    x = rng.normal(size=(16,)).astype(np.float32)
+    ours = (x - g["mean"]) * g["scale"] / np.sqrt(g["var"] + 1e-5) + g["bias"]
+    w, b = sd["features.0.1.weight"].numpy(), sd["features.0.1.bias"].numpy()
+    m, v = (sd["features.0.1.running_mean"].numpy(),
+            sd["features.0.1.running_var"].numpy())
+    theirs = (x - m) / np.sqrt(v + 1e-3) * w + b
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: .pth file -> detector variables (reference pretrained_backbone=True)
+# ---------------------------------------------------------------------------
+
+def test_pretrained_backbone_into_faster_rcnn(tmp_path, rng):
+    from cald_tpu.convert.torchvision_import import load_pretrained_backbone
+    from cald_tpu.models import fasterrcnn_resnet50_fpn_feature
+
+    model = fasterrcnn_resnet50_fpn_feature(num_classes=21)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 128, 128, 3)),
+        jnp.full((1, 2), 128, jnp.int32))
+    path = str(tmp_path / "resnet50.pth")
+    torch.save(_fake_torchvision_sd(rng), path)
+    new = load_pretrained_backbone(variables, path)
+
+    sd = _fake_torchvision_sd(rng)  # same rng state NOT reused; reload file
+    from cald_tpu.convert.pth_reader import load_state_dict
+
+    disk = load_state_dict(path)
+    np.testing.assert_allclose(
+        np.asarray(new["params"]["backbone"]["conv1"]["kernel"]),
+        torch_conv_to_flax(disk["conv1.weight"]))
+    # non-backbone params untouched
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 {k: v for k, v in variables["params"].items() if k != "backbone"},
+                 {k: v for k, v in new["params"].items() if k != "backbone"})
+
+
+def test_pretrained_backbone_into_retinanet_mobilenet(tmp_path, rng):
+    from cald_tpu.convert.torchvision_import import load_pretrained_backbone
+    from cald_tpu.models import retinanet_mobilenet
+
+    model = retinanet_mobilenet(num_classes=21)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 128, 128, 3)),
+        jnp.full((1, 2), 128, jnp.int32))
+    path = str(tmp_path / "mbv3.pth")
+    torch.save(_fake_mobilenetv3_sd(rng), path)
+    new = load_pretrained_backbone(variables, path)
+    from cald_tpu.convert.pth_reader import load_state_dict
+
+    disk = load_state_dict(path)
+    np.testing.assert_allclose(
+        np.asarray(new["params"]["backbone"]["stem"]["kernel"]),
+        torch_conv_to_flax(disk["features.0.0.weight"]))

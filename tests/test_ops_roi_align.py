@@ -91,4 +91,6 @@ def test_multi_scale_equals_single_level_for_assigned_rois(rng):
     out = multi_scale_roi_align(feats, rois, spatial_scales=scales)
     for i, lvl in enumerate(lvls):
         single = roi_align(feats[lvl], rois[i:i + 1], spatial_scale=scales[lvl])
-        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(single[0]), rtol=1e-5)
+        # atol absorbs f32 fusion-order noise (differs across XLA CPU topologies)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(single[0]),
+                                   rtol=1e-5, atol=1e-6)
