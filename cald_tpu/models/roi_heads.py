@@ -116,10 +116,18 @@ def postprocess_detections(class_logits: jnp.ndarray, box_regression: jnp.ndarra
                            proposals: jnp.ndarray, prop_valid: jnp.ndarray,
                            valid_hw: jnp.ndarray, *, score_thresh: float = 0.05,
                            nms_thresh: float = 0.5, detections_per_img: int = 100,
-                           min_size: float = 1e-2,
+                           min_size: float = 0.0,
                            nms_pre_size: int = 2048) -> Detections:
     """Single image. class_logits (N, C), box_regression (N, C*4),
-    proposals (N, 4). Returns fixed-slot Detections with CALD extras."""
+    proposals (N, 4). Returns fixed-slot Detections with CALD extras.
+
+    Semantics transcribed from the reference's custom postprocess
+    (frcnn_la.py:32-87): score filter > 0.05, per-class NMS 0.5, global top-100;
+    ``prob_max`` is the max over FOREGROUND classes only (frcnn_la.py:59-64
+    takes the max after dropping the background column) and there is NO
+    small-box filter (the reference dropped torchvision's remove_small_boxes
+    here), hence min_size=0.
+    """
     n, c = class_logits.shape
     scores = jax.nn.softmax(class_logits, axis=-1)            # (N, C) full rows
     boxes = decode_boxes(box_regression.reshape(n, c, 4), proposals,
@@ -134,9 +142,11 @@ def postprocess_detections(class_logits: jnp.ndarray, box_regression: jnp.ndarra
     fg_labels = jnp.tile(jnp.arange(1, c, dtype=jnp.int32)[None], (n, 1)).reshape(-1)
     prop_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), c - 1)
 
-    ws = fg_boxes[:, 2] - fg_boxes[:, 0]
-    hs = fg_boxes[:, 3] - fg_boxes[:, 1]
-    cand = (fg_scores > score_thresh) & (ws >= min_size) & (hs >= min_size)
+    cand = fg_scores > score_thresh
+    if min_size > 0.0:
+        ws = fg_boxes[:, 2] - fg_boxes[:, 0]
+        hs = fg_boxes[:, 3] - fg_boxes[:, 1]
+        cand &= (ws >= min_size) & (hs >= min_size)
     cand &= jnp.repeat(prop_valid, c - 1)
 
     keep_idx, keep_valid = batched_nms(
@@ -152,7 +162,7 @@ def postprocess_detections(class_logits: jnp.ndarray, box_regression: jnp.ndarra
         labels=fg_labels[keep_idx] * mask,
         valid=mask,
         scores_cls=scores[pidx] * mask[:, None],
-        prob_max=jnp.max(scores[pidx], axis=-1) * mask,
+        prob_max=jnp.max(scores[pidx, 1:], axis=-1) * mask,
         props=proposals[pidx] * mask[:, None],
     )
 
