@@ -28,11 +28,15 @@ def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21):
     from cald_tpu.models import fasterrcnn_resnet50_fpn_feature
     from cald_tpu.strategies import CALDConfig, make_cald_score_fn
 
-    model = fasterrcnn_resnet50_fpn_feature(num_classes=num_classes)
+    # the driver's default fast-scoring counts (cli/config.py
+    # score_rpn_pre_nms/score_rpn_post_nms; training/eval keep 1000/1000)
+    model = fasterrcnn_resnet50_fpn_feature(
+        num_classes=num_classes,
+        rpn_pre_nms_top_n_test=400, rpn_post_nms_top_n_test=256)
     h, w = canvas_hw
     images = jnp.zeros((batch_size, h, w, 3), jnp.float32)
     valid_hw = jnp.asarray([[600, 1000]] * batch_size, jnp.int32)
-    variables = jax.jit(model.init)(jax.random.key(0), images, valid_hw)
+    variables = jax.jit(model.init)(jax.random.key(0), images[:2], valid_hw[:2])
     score_fn = make_cald_score_fn(model, CALDConfig(), num_classes)
     return score_fn, variables
 
@@ -66,7 +70,7 @@ def run(batch_size: int = 8, iters: int = 10, canvas_hw=(640, 1024)) -> dict:
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     try:
         result = run(batch_size=batch_size)
     except Exception as e:  # OOM etc: retry smaller before giving up

@@ -126,6 +126,54 @@ def _translate_rows(image: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
     return lo * (1.0 - r) + hi * r
 
 
+def _translate_grouped(image: jnp.ndarray, shifts: jnp.ndarray, *, axis: int,
+                       taps: int, group: int = 16) -> jnp.ndarray:
+    """Per-line fractional translation along ``axis`` (1: each row v shifts by
+    shifts[v] in x; 0: each column x shifts by shifts[x] in y).
+
+    Grouped-block formulation (the per-row dynamic-slice version cost ~6 ms per
+    640x1024 image — 640 tiny gathers; PERF.md round 2): lines are processed in
+    groups of ``group``, each group takes ONE dynamic slice at its minimum
+    integer shift and the per-line residual r = shift - k_group is applied with
+    ``taps`` static sub-slices weighted by the bilinear hat max(0, 1 - |r - t|)
+    — EXACTLY two nonzero weights per line, identical arithmetic to the 2-tap
+    lerp. Caller guarantees r < taps - 1, i.e.
+    taps >= ceil(group * max|d shift / d line|) + 2.
+    """
+    h, w, c = image.shape
+    n_lines = image.shape[0] if axis == 1 else image.shape[1]
+    if n_lines % group:
+        if axis == 0:
+            t = _translate_rows(image.transpose(1, 0, 2), shifts)
+            return t.transpose(1, 0, 2)
+        return _translate_rows(image, shifts)
+    pad = _SHEAR_PAD
+    ng = n_lines // group
+    k = jnp.clip(jnp.floor(shifts.reshape(ng, group).min(axis=1)),
+                 -pad, pad - taps).astype(jnp.int32)                # (ng,)
+    r = shifts - jnp.repeat(k, group).astype(shifts.dtype)          # (n_lines,)
+    gi = jnp.arange(ng, dtype=jnp.int32)
+
+    if axis == 1:  # rows shift along x
+        padded = jnp.pad(image, ((0, 0), (pad, pad), (0, 0)))
+        blocks = jax.vmap(lambda g, kk: jax.lax.dynamic_slice(
+            padded, (g * group, pad + kk, 0), (group, w + taps, c)))(gi, k)
+        blocks = blocks.reshape(h, w + taps, c)
+        wt = [jnp.clip(1.0 - jnp.abs(r - t), 0.0, 1.0).astype(image.dtype)
+              [:, None, None] for t in range(taps)]
+        out = sum(blocks[:, t:t + w, :] * wt[t] for t in range(taps))
+    else:  # columns shift along y
+        padded = jnp.pad(image, ((pad, pad), (0, 0), (0, 0)))
+        blocks = jax.vmap(lambda g, kk: jax.lax.dynamic_slice(
+            padded, (pad + kk, g * group, 0), (h + taps, group, c)))(gi, k)
+        # (ng, h+taps, group, c) -> (h+taps, w, c)
+        blocks = blocks.transpose(1, 0, 2, 3).reshape(h + taps, w, c)
+        wt = [jnp.clip(1.0 - jnp.abs(r - t), 0.0, 1.0).astype(image.dtype)
+              [None, :, None] for t in range(taps)]
+        out = sum(blocks[t:t + h, :, :] * wt[t] for t in range(taps))
+    return out
+
+
 def resize_image_boxes(image: jnp.ndarray, boxes: jnp.ndarray, valid_hw, ratio: float):
     """Scale the valid region by ``ratio`` about the canvas origin; boxes *= ratio
     (cald_helper.py:47-53). ``ratio`` must be static. Requires ratio <= canvas
@@ -201,19 +249,24 @@ def rotate_image_boxes(image: jnp.ndarray, boxes: jnp.ndarray, valid_hw, angle_d
     if angle_deg == 0.0:
         out = image
     else:
+        # static tap bound: per-line shift slope is <= tan|ang| (pass 1,
+        # exactly -tan*alpha/sxs) and <= tan|ang| * sxs/sys (pass 2); the 1.5
+        # margin covers the expand-ratio factor for |ang| well past 45 deg.
+        taps = int(math.ceil(
+            16 * math.tan(abs(math.radians(angle_deg))) * 1.5)) + 2
         # pass 1 (x): T[v, x] = I[v, a1*x + b1(v)]
         a1 = m00 - m01 * m10 / m11
         rows = jnp.arange(ch, dtype=jnp.float32)
         b1 = (m01 / m11) * rows + (c0 - m01 * c1 / m11)
         mx = _affine_1d_matrix(cw, a1, w).astype(image.dtype)
-        t = _scale_rows(image.transpose(1, 0, 2), mx).transpose(1, 0, 2)
-        t = _translate_rows(t, b1 / a1)
+        t = jnp.einsum("Xx,hxc->hXc", mx, image)
+        t = _translate_grouped(t, b1 / a1, axis=1, taps=taps)
         # pass 2 (y): O[y, x] = T[m11*y + b2(x), x]
         cols = jnp.arange(cw, dtype=jnp.float32)
         b2 = m10 * cols + c1
         my = _affine_1d_matrix(ch, m11, h).astype(image.dtype)
-        t = _scale_rows(t, my)
-        out = _translate_rows(t.transpose(1, 0, 2), b2 / m11).transpose(1, 0, 2)
+        t = jnp.einsum("Yy,yxc->Yxc", my, t)
+        out = _translate_grouped(t, b2 / m11, axis=0, taps=taps)
 
     ys, xs = _grid((ch, cw))
     mask = ((ys < h) & (xs < w))[..., None]

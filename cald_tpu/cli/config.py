@@ -48,7 +48,13 @@ class ALConfig:
     warmup_iters: int = 1000
     aspect_ratio_group_factor: int = 3
     # scoring
-    score_batch_size: int = 8
+    score_batch_size: int = 16
+    # fast-scoring RPN candidate counts for the pool-scoring model only
+    # (training/eval keep the reference 1000/1000). Capped at the model's own
+    # counts; 0 disables -> reference-faithful scoring. PERF.md round 2: 2x
+    # scoring throughput at post=256/pre=400 with detections_per_img unchanged.
+    score_rpn_pre_nms: int = 400
+    score_rpn_post_nms: int = 256
     # infra
     workers: int = 8
     seed: int = 0
@@ -129,8 +135,15 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-gamma", dest="lr_gamma", default=0.1, type=float)
     p.add_argument("--aspect-ratio-group-factor", dest="aspect_ratio_group_factor",
                    default=3, type=int)
-    p.add_argument("--score-batch-size", dest="score_batch_size", default=8,
+    p.add_argument("--score-batch-size", dest="score_batch_size", default=16,
                    type=int)
+    p.add_argument("--score-rpn-pre-nms", dest="score_rpn_pre_nms", default=400,
+                   type=int, help="RPN pre-NMS top-n for pool scoring "
+                                  "(0 = reference-faithful 1000)")
+    p.add_argument("--score-rpn-post-nms", dest="score_rpn_post_nms",
+                   default=256, type=int,
+                   help="RPN post-NMS proposals for pool scoring "
+                        "(0 = reference-faithful 1000)")
     p.add_argument("-j", "--workers", dest="workers", default=8, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--print-freq", dest="print_freq", default=20, type=int)
