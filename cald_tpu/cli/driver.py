@@ -218,6 +218,25 @@ def _detect_host_fn(cfg: ALConfig, model, variables, canvases):
     return run
 
 
+def _scoring_model(cfg: ALConfig, model):
+    """Fast-scoring variant for the pool pass: smaller RPN candidate counts
+    (capped at the model's own, so tiny/test configs are unchanged). Training
+    and eval always use the reference-faithful model; set
+    --score-rpn-{pre,post}-nms 0 to score with it too. PERF.md round 2."""
+    if (not cfg.score_rpn_post_nms
+            or not hasattr(model.cfg, "rpn_post_nms_top_n_test")):
+        return model
+    import dataclasses as _dc
+
+    pre = min(cfg.score_rpn_pre_nms or 10 ** 9, model.cfg.rpn_pre_nms_top_n_test)
+    post = min(cfg.score_rpn_post_nms, model.cfg.rpn_post_nms_top_n_test)
+    if (pre, post) == (model.cfg.rpn_pre_nms_top_n_test,
+                       model.cfg.rpn_post_nms_top_n_test):
+        return model
+    return type(model)(_dc.replace(model.cfg, rpn_pre_nms_top_n_test=pre,
+                                   rpn_post_nms_top_n_test=post))
+
+
 def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
                      canvases, group_ids, *, cycle: int,
                      strategy_state: dict) -> np.ndarray:
@@ -241,7 +260,8 @@ def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
                           base_point=cfg.bp, mutual_range=cfg.mr,
                           uniform=cfg.uniform, no_mutual=cfg.no_mutual)
         score_fn = strategy_state.setdefault(
-            "cald_fn", make_cald_score_fn(model, ccfg, cfg.num_classes))
+            "cald_fn", make_cald_score_fn(_scoring_model(cfg, model), ccfg,
+                                          cfg.num_classes))
         put_batch, _ = _mesh_hooks()
         consistency, corrs = score_pool(score_fn, variables, pool_loader(), key,
                                         subset, put=put_batch)
@@ -251,12 +271,14 @@ def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
         return subset[picked]
 
     if cfg.strategy == "ltc":
-        fn = strategy_state.setdefault("ltc_fn", make_ltc_score_fn(model))
+        fn = strategy_state.setdefault(
+            "ltc_fn", make_ltc_score_fn(_scoring_model(cfg, model)))
         u = run_ltc(fn, variables, pool_loader(), subset)
         return subset[np.argsort(u, kind="stable")[:budget]]
 
     if cfg.strategy == "lsc":
-        fn = strategy_state.setdefault("lsc_fn", make_lsc_score_fn(model))
+        fn = strategy_state.setdefault(
+            "lsc_fn", make_lsc_score_fn(_scoring_model(cfg, model)))
         s = lsc_scores(fn, variables, pool_loader(), key, subset)
         return subset[np.argsort(s, kind="stable")[:budget]]
 
@@ -378,6 +400,10 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
             state, strategy_state["ll_state"] = _train_cycle_ll4al(
                 cfg, model, frozen_prefixes, strategy_state["lossnet"],
                 train_ds, pool, canvases, group_ids, cycle=cycle)
+        elif cfg.strategy == "vaal":
+            state, strategy_state["vaal"] = _train_cycle_vaal(
+                cfg, model, frozen_prefixes, train_ds, pool, canvases,
+                group_ids, cycle=cycle)
         else:
             state = train_cycle(cfg, model, frozen_prefixes, train_ds, pool,
                                 canvases, group_ids, cycle=cycle)
@@ -385,9 +411,17 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
             # save the first-cycle model for later --skip runs
             # (reference cald_train.py:418-426)
             save_checkpoint(first_ckpt, state, meta={"cycle": 0})
-        if cfg.strategy == "vaal":
-            strategy_state["vaal"] = _train_vaal(cfg, train_ds, pool, canvases,
-                                                 group_ids, cycle)
+        if cfg.strategy == "vaal" and "vaal" not in strategy_state:
+            # --skip path loaded the task model without the interleaved
+            # adversarial training; run the VAE+D epochs standalone
+            loader0 = _loaders(cfg, train_ds, pool.labeled,
+                               batch_size=cfg.batch_size, train=True,
+                               canvases=canvases, group_ids=group_ids)
+            trainer = _make_vaal_trainer(cfg, max(len(loader0), 1), cycle)
+            for epoch in range(cfg.epochs):
+                _vaal_adversary_epoch(cfg, trainer, train_ds, pool, canvases,
+                                      group_ids, cycle=cycle, epoch=epoch)
+            strategy_state["vaal"] = trainer
 
         stats = {}
         if cfg.eval_every_cycle:
@@ -461,19 +495,75 @@ def _train_cycle_ll4al(cfg, model, frozen_prefixes, lossnet, dataset, pool,
     return task_state, ll_state
 
 
-def _train_vaal(cfg, dataset, pool, canvases, group_ids, cycle,
-                *, epochs: int = 1):
-    """VAE+D training over labeled/unlabeled batches (vaal_train.py:99-148)."""
-    trainer = VAALTrainer(seed=cfg.seed + cycle)
-    key = jax.random.key(cfg.seed + 31)
+def _make_vaal_trainer(cfg, steps_per_epoch: int, cycle: int) -> VAALTrainer:
+    """Fresh VAE+D per cycle with the reference optimizers: SGD lr/10 for the
+    VAE, SGD lr for the discriminator, both on the task's MultiStep+warmup
+    schedule (vaal_train.py:221-238)."""
+    vae_sched = multistep_with_warmup(cfg.lr / 10, steps_per_epoch,
+                                      milestones=cfg.lr_steps,
+                                      gamma=cfg.lr_gamma,
+                                      warmup_iters=cfg.warmup_iters)
+    d_sched = multistep_with_warmup(cfg.lr, steps_per_epoch,
+                                    milestones=cfg.lr_steps, gamma=cfg.lr_gamma,
+                                    warmup_iters=cfg.warmup_iters)
+    return VAALTrainer(
+        seed=cfg.seed + cycle,
+        vae_tx=make_sgd(vae_sched, momentum=cfg.momentum,
+                        weight_decay=cfg.weight_decay),
+        d_tx=make_sgd(d_sched, momentum=cfg.momentum,
+                      weight_decay=cfg.weight_decay))
+
+
+def _vaal_adversary_epoch(cfg, trainer: VAALTrainer, dataset, pool, canvases,
+                          group_ids, *, cycle: int, epoch: int):
+    """One epoch of VAE+D training: len(labeled_loader) steps over shuffled
+    labeled/unlabeled batches (vaal_train.py:99-148 runs this after every task
+    epoch; the unlabeled loader is cycled when shorter)."""
+    import itertools
+
+    seed = cfg.seed + cycle * 1000 + epoch
     lab_loader = _loaders(cfg, dataset, pool.labeled,
-                          batch_size=cfg.score_batch_size, train=False,
-                          canvases=canvases, group_ids=group_ids)
+                          batch_size=cfg.batch_size, train=True,
+                          canvases=canvases, group_ids=group_ids, seed=seed)
     unlab_loader = _loaders(cfg, dataset, pool.unlabeled,
-                            batch_size=cfg.score_batch_size, train=False,
-                            canvases=canvases, group_ids=group_ids)
-    for e in range(epochs):
-        for bi, (lb, ub) in enumerate(zip(lab_loader, unlab_loader)):
-            trainer.train_step(lb.images, ub.images,
-                               jax.random.fold_in(key, e * 10000 + bi))
-    return trainer
+                            batch_size=cfg.batch_size, train=True,
+                            canvases=canvases, group_ids=group_ids,
+                            seed=seed + 1)
+    key = jax.random.fold_in(jax.random.key(cfg.seed + 31),
+                             cycle * 1000 + epoch)
+    vloss = dloss = float("nan")
+    unlab_iter = itertools.cycle(unlab_loader) if len(unlab_loader) else None
+    if unlab_iter is None:
+        return
+    for bi, lb in enumerate(lab_loader):
+        ub = next(unlab_iter)
+        vloss, dloss = trainer.train_step(lb.images, ub.images,
+                                          jax.random.fold_in(key, bi))
+    print(f"vaal cycle {cycle} epoch {epoch}: vae_loss {vloss:.2f} "
+          f"dis_loss {dloss:.4f}")
+
+
+def _train_cycle_vaal(cfg, model, frozen_prefixes, dataset, pool, canvases,
+                      group_ids, *, cycle: int):
+    """Task + VAE + D trained interleaved every epoch (vaal_train.py:248-251:
+    train_one_epoch covers the task loop AND the adversarial loop)."""
+    state = _fresh_state(cfg, model, frozen_prefixes, dataset, pool, canvases,
+                         group_ids, cycle=cycle)
+    put_batch, put_state = _mesh_hooks()
+    state = put_state(state)
+    step_fn = make_train_step(model)
+    loader0 = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
+                       train=True, canvases=canvases, group_ids=group_ids,
+                       seed=cfg.seed + cycle)
+    trainer = _make_vaal_trainer(cfg, max(len(loader0), 1), cycle)
+    for epoch in range(cfg.epochs):
+        loader = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
+                          train=True, canvases=canvases, group_ids=group_ids,
+                          seed=cfg.seed + cycle * 1000 + epoch)
+        state, _ = train_one_epoch(
+            state, step_fn, (put_batch(b) for b in loader),
+            jax.random.fold_in(jax.random.key(cfg.seed), epoch),
+            epoch=epoch, cycle=cycle, print_freq=cfg.print_freq)
+        _vaal_adversary_epoch(cfg, trainer, dataset, pool, canvases, group_ids,
+                              cycle=cycle, epoch=epoch)
+    return state, trainer

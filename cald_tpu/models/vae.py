@@ -67,8 +67,9 @@ class VAALDiscriminator(nn.Module):
 
 
 def vae_loss(recon, x, mu, logvar, beta: float = 1.0) -> jnp.ndarray:
-    """0.1 * MSE + beta * KLD (vaal_helper.py:171-180; MSE is mean, KLD the
-    standard -0.5 sum(1 + logvar - mu^2 - exp(logvar)) / numel)."""
+    """0.1 * MSE + beta * KLD (vaal_helper.py:171-180): MSE is the mean over
+    all pixels, KLD the RAW batch sum -0.5 sum(1 + logvar - mu^2 - exp(logvar))
+    — the reference does not normalize the KLD term, so neither do we."""
     mse = jnp.mean((recon - x) ** 2)
-    kld = -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar)) / mu.size
+    kld = -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar))
     return 0.1 * mse + beta * kld

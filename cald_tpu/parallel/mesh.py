@@ -42,11 +42,21 @@ def replicate(tree, mesh: Mesh):
 def shard_batch(tree, mesh: Mesh, axis: str = "data"):
     """Put a host batch pytree onto the mesh, axis 0 sharded.
 
-    Batch size must divide the mesh size (grouped_batch_indices pads batches to
-    a fixed size, so choose batch_size % n_devices == 0).
+    For full DP efficiency pick batch_size % n_devices == 0
+    (grouped_batch_indices pads batches to a fixed size). Leaves whose leading
+    dim does not divide the mesh fall back to replication — correct but
+    redundant compute, so it is a degradation, not an error (small CPU-mesh
+    tests, odd last batches).
     """
     sharding = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        divisible = (hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1
+                     and x.shape[0] % mesh.size == 0)
+        return jax.device_put(x, sharding if divisible else rep)
+
+    return jax.tree.map(put, tree)
 
 
 def host_gather(x) -> np.ndarray:

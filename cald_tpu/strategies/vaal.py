@@ -43,7 +43,12 @@ class VAALTrainer:
 
     def __init__(self, *, z_dim: int = 256, base_width: int = 128,
                  image_size: int = VAAL_IMAGE_SIZE, lr: float = 5e-4,
-                 beta: float = 1.0, adv_weight: float = 1.0, seed: int = 0):
+                 beta: float = 1.0, adv_weight: float = 1.0, seed: int = 0,
+                 vae_tx=None, d_tx=None):
+        """``vae_tx``/``d_tx``: optax transforms for the two nets. The driver
+        passes the reference's SGD(lr/10) / SGD(lr) with the MultiStep+warmup
+        schedule (vaal_train.py:221-238); the Adam default here is the
+        standalone/test fallback."""
         import optax
 
         self.vae = VAAL_VAE(z_dim=z_dim, base_width=base_width,
@@ -57,8 +62,8 @@ class VAALTrainer:
             jax.random.key(seed), dummy, jax.random.key(0))["params"]
         self.d_params = jax.jit(self.disc.init)(
             jax.random.key(seed + 1), jnp.zeros((1, z_dim)))["params"]
-        self.vae_tx = optax.adam(lr)
-        self.d_tx = optax.adam(lr)
+        self.vae_tx = vae_tx if vae_tx is not None else optax.adam(lr)
+        self.d_tx = d_tx if d_tx is not None else optax.adam(lr)
         self.vae_opt = self.vae_tx.init(self.vae_params)
         self.d_opt = self.d_tx.init(self.d_params)
         self._step = jax.jit(self._make_step())
@@ -82,15 +87,20 @@ class VAALTrainer:
                 adv_u = jnp.mean(bce_with_logits(du, jnp.ones_like(du)))
                 return rec + adv * (adv_l + adv_u), (mu_l, mu_u)
 
-            (vloss, (mu_l, mu_u)), vgrads = jax.value_and_grad(
+            (vloss, _), vgrads = jax.value_and_grad(
                 vae_loss_fn, has_aux=True)(vae_params)
             vup, vae_opt = vae_tx.update(vgrads, vae_opt, vae_params)
             import optax
             vae_params = optax.apply_updates(vae_params, vup)
 
+            # the reference's D step re-encodes with the UPDATED VAE under
+            # no_grad (vaal_train.py:125-128)
+            _, _, mu_l2, _ = vae.apply({"params": vae_params}, lab, k1)
+            _, _, mu_u2, _ = vae.apply({"params": vae_params}, unlab, k2)
+
             def d_loss_fn(dp):
-                dl = disc.apply({"params": dp}, jax.lax.stop_gradient(mu_l))
-                du = disc.apply({"params": dp}, jax.lax.stop_gradient(mu_u))
+                dl = disc.apply({"params": dp}, jax.lax.stop_gradient(mu_l2))
+                du = disc.apply({"params": dp}, jax.lax.stop_gradient(mu_u2))
                 return (jnp.mean(bce_with_logits(dl, jnp.ones_like(dl)))
                         + jnp.mean(bce_with_logits(du, jnp.zeros_like(du))))
 

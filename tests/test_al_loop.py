@@ -44,6 +44,29 @@ class TestConfig:
         cfg = ALConfig(dataset="voc2007", strategy="random").resolve()
         assert (cfg.init_num, cfg.budget_num) == (1000, 1000)
 
+    def test_scoring_model_variant(self):
+        """Fast-scoring counts apply to the pool-scoring model only, capped at
+        the model's own counts (PERF.md round 2)."""
+        from cald_tpu.cli.driver import _scoring_model, build_model
+
+        cfg = ALConfig(model="faster").resolve()
+        model, _ = build_model(cfg, 21)
+        fast = _scoring_model(cfg, model)
+        assert fast.cfg.rpn_pre_nms_top_n_test == 400
+        assert fast.cfg.rpn_post_nms_top_n_test == 256
+        assert fast.cfg.rpn_post_nms_top_n_train == 2000  # train untouched
+        # tiny config already below the caps -> unchanged object
+        tiny_cfg = ALConfig(model="faster", tiny=True).resolve()
+        tiny, _ = build_model(tiny_cfg, 21)
+        assert _scoring_model(tiny_cfg, tiny) is tiny
+        # 0 disables
+        off = ALConfig(model="faster", score_rpn_post_nms=0).resolve()
+        assert _scoring_model(off, model) is model
+        # retinanet has no rpn counts -> unchanged
+        rcfg = ALConfig(model="retina").resolve()
+        rmodel, _ = build_model(rcfg, 21)
+        assert _scoring_model(rcfg, rmodel) is rmodel
+
     def test_parser_reference_flags(self):
         cfg = build_config_from_args(
             ["--dataset", "voc2012", "--model", "retina", "--augs", "FC",
@@ -93,6 +116,37 @@ class TestALLoop:
         hist = al_loop(cfg, datasets=(train, train))
         assert hist[0]["labeled"] == 7
         assert "AP" in hist[0]["eval"]
+
+    def test_vaal_strategy(self, voc_root):
+        """Interleaved task+VAE+D schedule (vaal_train.py:99-148,248-251)."""
+        cfg = mini_cfg(voc_root, strategy="vaal", eval_every_cycle=False)
+        ds = get_voc2007(voc_root, "trainval")
+        history = al_loop(cfg, datasets=(ds, ds))
+        assert history[0]["labeled"] == 7
+
+    def test_ll4al_strategy(self, voc_root):
+        """Joint detector+LossNet training + LossNet-predicted-loss selection
+        (ll_train.py:55-133,145-166)."""
+        cfg = mini_cfg(voc_root, strategy="ll4al", eval_every_cycle=False,
+                       task_epochs=1)
+        ds = get_voc2007(voc_root, "trainval")
+        history = al_loop(cfg, datasets=(ds, ds))
+        assert history[0]["labeled"] == 7
+
+    def test_ssm_strategy(self, voc_root):
+        """SSM two-stage selection incl. cross-validation paste-and-redetect
+        (ssm_train.py:197-268)."""
+        cfg = mini_cfg(voc_root, strategy="ssm", eval_every_cycle=False)
+        ds = get_voc2007(voc_root, "trainval")
+        history = al_loop(cfg, datasets=(ds, ds))
+        assert history[0]["labeled"] == 7
+
+    def test_lsc_strategy(self, voc_root):
+        """LS/C noise-stability scoring (ls_c_train.py:122-155)."""
+        cfg = mini_cfg(voc_root, strategy="lsc", eval_every_cycle=False)
+        ds = get_voc2007(voc_root, "trainval")
+        history = al_loop(cfg, datasets=(ds, ds))
+        assert history[0]["labeled"] == 7
 
     def test_skip_first_cycle_checkpoint(self, voc_root, tmp_path):
         """--skip reuses the saved first-cycle model (cald_train.py:349-356)."""
