@@ -167,21 +167,90 @@ def postprocess_detections(class_logits: jnp.ndarray, box_regression: jnp.ndarra
     )
 
 
+def ssm_postprocess_detections(class_logits: jnp.ndarray,
+                               box_regression: jnp.ndarray,
+                               proposals: jnp.ndarray, prop_valid: jnp.ndarray,
+                               valid_hw: jnp.ndarray, *,
+                               score_thresh: float = 0.05,
+                               nms_thresh: float = 0.3,
+                               detections_per_class: int = 100,
+                               out_slots: int = 300,
+                               nms_pre_size: int = 4096) -> Detections:
+    """The SSM variant postprocess (frcnn_ssm.py:44-88), fixed-shape.
+
+    Differs from the standard path in exactly the reference's ways:
+      * NO score filter before NMS (every foreground (proposal, class)
+        instance competes; frcnn_ssm.py has no pre-filter),
+      * per-class NMS at 0.3,
+      * the top ``detections_per_class`` survivors PER CLASS (not a global
+        top-k; frcnn_ssm.py:88 ``keep[:detections_per_img]`` inside the class
+        loop),
+      * the ``score > score_thresh`` filter applied AFTER NMS.
+    Full softmax rows ride along as ``scores_cls`` for judge_y/judge_uv.
+
+    ``out_slots`` is the fixed-shape envelope for the union over classes:
+    survivors are globally score-sorted, so in the (rare) overflow case the
+    lowest-scoring survivors are dropped first — the reference has no such cap
+    but also no fixed shapes.
+    """
+    n, c = class_logits.shape
+    scores = jax.nn.softmax(class_logits, axis=-1)
+    boxes = decode_boxes(box_regression.reshape(n, c, 4), proposals,
+                         weights=ROI_REG_WEIGHTS)
+    h = valid_hw[0].astype(boxes.dtype)
+    w = valid_hw[1].astype(boxes.dtype)
+    boxes = clip_boxes(boxes, (h, w))
+
+    fg_scores = scores[:, 1:].reshape(-1)
+    fg_boxes = boxes[:, 1:, :].reshape(-1, 4)
+    fg_labels = jnp.tile(jnp.arange(1, c, dtype=jnp.int32)[None], (n, 1)).reshape(-1)
+    prop_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), c - 1)
+    cand = jnp.repeat(prop_valid, c - 1)
+
+    keep_idx, keep_valid = batched_nms(
+        fg_boxes, fg_scores, fg_labels, iou_threshold=nms_thresh,
+        max_outputs=out_slots, valid=cand,
+        pre_nms_size=min(fg_boxes.shape[0], nms_pre_size))
+
+    # survivors arrive score-descending, so rank-within-class = count of
+    # earlier same-class survivors (a one-hot prefix sum)
+    klabels = fg_labels[keep_idx]
+    kscores = fg_scores[keep_idx]
+    onehot = (jax.nn.one_hot(klabels, c, dtype=jnp.int32)
+              * keep_valid[:, None].astype(jnp.int32))
+    rank = jnp.take_along_axis(jnp.cumsum(onehot, axis=0) - onehot,
+                               klabels[:, None], axis=1)[:, 0]
+    mask = keep_valid & (rank < detections_per_class) & (kscores > score_thresh)
+
+    pidx = prop_idx[keep_idx]
+    return Detections(
+        boxes=fg_boxes[keep_idx] * mask[:, None],
+        scores=kscores * mask,
+        labels=klabels * mask,
+        valid=mask,
+        scores_cls=scores[pidx] * mask[:, None],
+        prob_max=jnp.max(scores[pidx, 1:], axis=-1) * mask,
+        props=proposals[pidx] * mask[:, None],
+    )
+
+
 def pool_box_features(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                       spatial_scales: Sequence[float], *, output_size: int = 7,
                       sampling_ratio: int = 2,
                       inference: bool = False) -> jnp.ndarray:
     """MultiScaleRoIAlign over FPN levels '0'-'3' (frcnn_la.py:206-209).
 
-    With ``inference=True`` on TPU backends the Pallas window-DMA kernel runs
-    (3.7x faster than XLA gathers, PERF.md; identical samples for rois within
-    the window envelope; no autodiff rule — hence inference only). Training
-    and CPU use the exact, differentiable pointwise path. Opt out with
+    On TPU backends the Pallas window-DMA kernel runs for BOTH inference and
+    training (3.7x faster than XLA gathers forward, PERF.md; identical samples
+    for rois within the window envelope; backward is the custom_vjp
+    scatter-windows kernel, gradient-parity-tested against the pointwise
+    path). CPU uses the exact, differentiable pointwise path. Opt out with
     CALD_TPU_NO_PALLAS_ROI=1.
     """
     import os
 
-    if (inference and jax.default_backend() in ("tpu", "axon")
+    del inference  # kept for call-site compatibility; both paths differentiate
+    if (jax.default_backend() in ("tpu", "axon")
             and feats[0].shape[-1] % 128 == 0   # Mosaic lane-aligned reshape
             and os.environ.get("CALD_TPU_NO_PALLAS_ROI") != "1"):
         from cald_tpu.ops.pallas_roi_align import pallas_multi_scale_roi_align

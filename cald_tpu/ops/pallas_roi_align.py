@@ -15,9 +15,19 @@ window edge (sub-pixel error on a rare tail).
 Weights/indices are computed with plain jnp (cheap, fused by XLA); the kernel
 only moves the window and runs the two contractions.
 
-Constraints: C must be a multiple of 128 (Mosaic lane-aligned reshapes); no
-autodiff rule (use the pointwise path for training); HBM slice starts must be
-W-tile (8) aligned (handled here via aligned window starts + pl.multiple_of).
+Autodiff: a custom_vjp makes the kernel trainable (the reference trains
+through roi_align, frcnn_la.py:206-209). The backward is the transpose of the
+forward's two interpolation contractions — gwin = wy^T @ gout @ wx per roi —
+scattered back with one read-accumulate-write window DMA pair per roi into a
+zero-initialized gradient buffer (input_output_aliased). TPU grid steps run
+sequentially on one core, so the read-modify-write accumulation over
+overlapping roi windows is race-free by construction. Rois and box coords get
+zero cotangents (torchvision's roi_align likewise only differentiates the
+features; proposals are detached in the reference).
+
+Constraints: C must be a multiple of 128 (Mosaic lane-aligned reshapes); HBM
+slice starts must be W-tile (8) aligned (handled here via aligned window
+starts + pl.multiple_of).
 """
 
 from __future__ import annotations
@@ -92,13 +102,11 @@ def _roi_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int):
     out_ref[0] = out.reshape(wx.shape[0], wy.shape[0], c).transpose(1, 0, 2)
 
 
-def pallas_multi_scale_roi_align(feats, rois, *, spatial_scales,
-                                 output_size: int = 7, sampling_ratio: int = 2):
-    """feats: list of (H_l, W_l, C); rois (R, 4). Returns (R, 7, 7, C) f32."""
+def _plan(feats, rois, spatial_scales, output_size: int, sampling_ratio: int):
+    """Shared fwd/bwd prolog: level assignment, zero-padded levels, aligned
+    window starts, pooled interpolation weights."""
     import math
 
-    c = feats[0].shape[-1]
-    r = rois.shape[0]
     s = output_size * sampling_ratio
     k_min = int(round(-math.log2(spatial_scales[0])))
     k_max = int(round(-math.log2(spatial_scales[-1])))
@@ -109,11 +117,11 @@ def pallas_multi_scale_roi_align(feats, rois, *, spatial_scales,
     ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
     # coarse levels can be smaller than the DMA window: zero-pad them (the
     # interpolation weights are already masked to the true valid extent)
-    feats = [jnp.pad(f, ((0, max(0, WIN_H - f.shape[0])),
-                         (0, max(0, SPAN - f.shape[1])), (0, 0)))
-             if f.shape[0] < WIN_H or f.shape[1] < SPAN else f for f in feats]
-    hs_pad = jnp.asarray([f.shape[0] for f in feats], jnp.float32)
-    ws_pad = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
+    padded = [jnp.pad(f, ((0, max(0, WIN_H - f.shape[0])),
+                          (0, max(0, SPAN - f.shape[1])), (0, 0)))
+              if f.shape[0] < WIN_H or f.shape[1] < SPAN else f for f in feats]
+    hs_pad = jnp.asarray([f.shape[0] for f in padded], jnp.float32)
+    ws_pad = jnp.asarray([f.shape[1] for f in padded], jnp.float32)
     scales = jnp.asarray(list(spatial_scales), jnp.float32)
     scale = scales[levels]
     h_l = hs[levels]
@@ -145,22 +153,144 @@ def pallas_multi_scale_roi_align(feats, rois, *, spatial_scales,
                        jnp.float32)
     wx = _axis_weights(x, xw0, w_l, in_x, SPAN, output_size, sampling_ratio,
                        jnp.float32)
+    return padded, levels.astype(jnp.int32), yw0, xw0, wy, wx
 
+
+def _fwd_call(padded, levels, yw0, xw0, wy, wx, *, output_size: int):
+    c = padded[0].shape[-1]
+    r = levels.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(r,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in feats]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in padded]
         + [pl.BlockSpec((1, output_size, WIN_H), lambda i, *_: (i, 0, 0)),
            pl.BlockSpec((1, output_size, SPAN), lambda i, *_: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, output_size, output_size, c),
                                lambda i, *_: (i, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((WIN_H, SPAN, c), feats[0].dtype),
+        scratch_shapes=[pltpu.VMEM((WIN_H, SPAN, c), padded[0].dtype),
                         pltpu.SemaphoreType.DMA],
     )
-    out = pl.pallas_call(
-        functools.partial(_roi_kernel, num_levels=len(feats), c=c),
+    return pl.pallas_call(
+        functools.partial(_roi_kernel, num_levels=len(padded), c=c),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, output_size, output_size, c),
                                        jnp.float32),
-    )(levels.astype(jnp.int32), yw0, xw0, *feats, wy, wx)
-    return out
+    )(levels, yw0, xw0, *padded, wy, wx)
+
+
+def _roi_bwd_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int):
+    """Transpose of _roi_kernel: gwin = wy^T @ gout @ wx, accumulated into the
+    aliased zero-initialized gradient buffers with a read-add-write window DMA
+    pair. Grid steps are sequential on the TPU core, so overlapping windows
+    accumulate without races."""
+    g_ref, wy_ref, wx_ref = refs[num_levels:num_levels + 3]
+    outs = refs[num_levels + 3:num_levels + 3 + num_levels]
+    win, sem = refs[-2:]
+    i = pl.program_id(0)
+    lvl = lvl_ref[i]
+    y0 = y0_ref[i]
+    x0 = pl.multiple_of(x0_ref[i], 8)
+
+    g = g_ref[0].astype(jnp.float32)               # (7, 7, c)
+    wy = wy_ref[0].astype(jnp.float32)             # (7, WIN_H)
+    wx = wx_ref[0].astype(jnp.float32)             # (7, SPAN)
+    o = wy.shape[0]
+    # t[h, (x c)] = sum_y wy[y, h] g[y, x, c]
+    t = jax.lax.dot_general(wy, g.reshape(o, o * c), (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    t = t.reshape(WIN_H, o, c)
+    # gwin[w, (h c)] = sum_x wx[x, w] t[h, x, c]
+    gw = jax.lax.dot_general(wx, t.transpose(1, 0, 2).reshape(o, -1),
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    gw = gw.reshape(SPAN, WIN_H, c).transpose(1, 0, 2)   # (WIN_H, SPAN, c)
+
+    for l in range(num_levels):
+        @pl.when(lvl == l)
+        def _(l=l):
+            window = outs[l].at[pl.ds(y0, WIN_H), pl.ds(x0, SPAN), :]
+            rd = pltpu.make_async_copy(window, win, sem)
+            rd.start()
+            rd.wait()
+            win[:] = win[:] + gw
+            wr = pltpu.make_async_copy(win, window, sem)
+            wr.start()
+            wr.wait()
+
+
+def _bwd_call(g, padded_shapes, levels, yw0, xw0, wy, wx, *,
+              output_size: int):
+    """Gradient wrt the PADDED per-level features, f32."""
+    c = padded_shapes[0][-1]
+    r = levels.shape[0]
+    num_levels = len(padded_shapes)
+    zeros = [jnp.zeros(s, jnp.float32) for s in padded_shapes]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(r,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in padded_shapes]
+        + [pl.BlockSpec((1, output_size, output_size, c),
+                        lambda i, *_: (i, 0, 0, 0)),
+           pl.BlockSpec((1, output_size, WIN_H), lambda i, *_: (i, 0, 0)),
+           pl.BlockSpec((1, output_size, SPAN), lambda i, *_: (i, 0, 0))],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)
+                   for _ in padded_shapes],
+        scratch_shapes=[pltpu.VMEM((WIN_H, SPAN, c), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    # alias the zero buffers (inputs 3..3+L-1 counting scalar prefetch) to the
+    # outputs: each grid step read-modify-writes its roi's window
+    return pl.pallas_call(
+        functools.partial(_roi_bwd_kernel, num_levels=num_levels, c=c),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(s, jnp.float32)
+                   for s in padded_shapes],
+        input_output_aliases={3 + i: i for i in range(num_levels)},
+    )(levels, yw0, xw0, *zeros, g, wy, wx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _roi_align_cv(feats, rois, spatial_scales, output_size, sampling_ratio,
+                  meta):
+    del meta
+    padded, levels, yw0, xw0, wy, wx = _plan(
+        feats, rois, spatial_scales, output_size, sampling_ratio)
+    return _fwd_call(padded, levels, yw0, xw0, wy, wx,
+                     output_size=output_size)
+
+
+def _roi_align_cv_fwd(feats, rois, spatial_scales, output_size, sampling_ratio,
+                      meta):
+    del meta
+    padded, levels, yw0, xw0, wy, wx = _plan(
+        feats, rois, spatial_scales, output_size, sampling_ratio)
+    out = _fwd_call(padded, levels, yw0, xw0, wy, wx, output_size=output_size)
+    return out, (levels, yw0, xw0, wy, wx)
+
+
+def _roi_align_cv_bwd(spatial_scales, output_size, sampling_ratio, meta,
+                      res, g):
+    levels, yw0, xw0, wy, wx = res
+    pad_shapes = tuple(
+        (max(h, WIN_H), max(w, SPAN), c) for (h, w, c), _ in meta)
+    gpad = _bwd_call(g.astype(jnp.float32), pad_shapes, levels, yw0, xw0,
+                     wy, wx, output_size=output_size)
+    dfeats = tuple(
+        gp[: s[0], : s[1], :].astype(dt)
+        for gp, (s, dt) in zip(gpad, meta))
+    return dfeats, jnp.zeros((levels.shape[0], 4), jnp.float32)
+
+
+_roi_align_cv.defvjp(_roi_align_cv_fwd, _roi_align_cv_bwd)
+
+
+def pallas_multi_scale_roi_align(feats, rois, *, spatial_scales,
+                                 output_size: int = 7, sampling_ratio: int = 2):
+    """feats: list of (H_l, W_l, C); rois (R, 4). Returns (R, 7, 7, C) f32.
+    Differentiable wrt feats (custom_vjp scatter-windows kernel); rois get
+    zero cotangents (they are stop_gradient'ed upstream anyway)."""
+    meta = tuple((tuple(f.shape), jnp.dtype(f.dtype).name) for f in feats)
+    return _roi_align_cv(tuple(feats), rois, tuple(spatial_scales),
+                         output_size, sampling_ratio, meta)

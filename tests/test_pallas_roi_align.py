@@ -66,3 +66,72 @@ def test_extreme_aspect_rois_stay_finite(rng):
     out = np.asarray(pallas_multi_scale_roi_align(feats, rois, spatial_scales=scales))
     assert np.isfinite(out).all()
     assert np.abs(out).max() < 10.0
+
+
+@tpu_only
+def test_grad_parity_within_envelope(rng):
+    """custom_vjp scatter-windows backward vs XLA autodiff of the points path:
+    identical feature gradients for rois inside the window envelope."""
+    from cald_tpu.ops.pallas_roi_align import pallas_multi_scale_roi_align
+    from cald_tpu.ops.roi_align import multi_scale_roi_align
+
+    feats, scales = _pyramid(rng)
+    rois = _rois(rng, 96)
+    cot = jnp.asarray(rng.normal(0, 1, (96, 7, 7, 128)).astype(np.float32))
+
+    def loss_pallas(fs):
+        out = pallas_multi_scale_roi_align(fs, rois, spatial_scales=scales)
+        return jnp.sum(out * cot)
+
+    def loss_points(fs):
+        out = multi_scale_roi_align(list(fs), rois, spatial_scales=scales,
+                                    method="points")
+        return jnp.sum(out * cot)
+
+    g_pallas = jax.jit(jax.grad(loss_pallas))(tuple(feats))
+    g_points = jax.jit(jax.grad(loss_points))(tuple(feats))
+    for gp, gx in zip(g_pallas, g_points):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   atol=2e-3, rtol=1e-3)
+
+
+@tpu_only
+def test_grad_vmapped_and_roi_cotangent_zero(rng):
+    """The training call shape: vmap over images, grads flow to the features;
+    rois receive exactly zero cotangents (they are stop_gradient'ed in the
+    model anyway, faster_rcnn.py:195)."""
+    from cald_tpu.ops.pallas_roi_align import pallas_multi_scale_roi_align
+    from cald_tpu.ops.roi_align import multi_scale_roi_align
+
+    feats, scales = _pyramid(rng, b=2)
+    rois = _rois(rng, 32, b=2)
+
+    def loss(fs, r, align):
+        out = jax.vmap(lambda f0, f1, f2, f3, rr: align(
+            [f0, f1, f2, f3], rr))(*fs, r)
+        return jnp.sum(out ** 2)
+
+    pal = lambda fs, rr: pallas_multi_scale_roi_align(fs, rr, spatial_scales=scales)
+    pts = lambda fs, rr: multi_scale_roi_align(fs, rr, spatial_scales=scales,
+                                               method="points")
+    gf_pal, gr_pal = jax.jit(jax.grad(lambda fs, r: loss(fs, r, pal),
+                                      argnums=(0, 1)))(tuple(feats), rois)
+    gf_pts, _ = jax.jit(jax.grad(lambda fs, r: loss(fs, r, pts),
+                                 argnums=(0, 1)))(tuple(feats), rois)
+    assert float(jnp.abs(gr_pal).max()) == 0.0
+    for gp, gx in zip(gf_pal, gf_pts):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   atol=2e-3, rtol=1e-3)
+
+
+@tpu_only
+def test_grad_bf16_dtype_preserved(rng):
+    from cald_tpu.ops.pallas_roi_align import pallas_multi_scale_roi_align
+
+    feats, scales = _pyramid(rng)
+    feats = [f.astype(jnp.bfloat16) for f in feats]
+    rois = _rois(rng, 16)
+    g = jax.jit(jax.grad(lambda fs: jnp.sum(pallas_multi_scale_roi_align(
+        fs, rois, spatial_scales=scales))))(tuple(feats))
+    assert all(x.dtype == jnp.bfloat16 for x in g)
+    assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in g)
