@@ -39,6 +39,7 @@ from cald_tpu.models.roi_heads import (
     pool_box_features,
     postprocess_detections,
     select_training_samples,
+    ssm_postprocess_detections,
 )
 from cald_tpu.models.rpn import RPNHead, rpn_loss, select_proposals
 
@@ -71,6 +72,10 @@ class FasterRCNNConfig:
     box_score_thresh: float = 0.05
     box_nms_thresh: float = 0.5
     detections_per_img: int = 100
+    # SSM scoring variant: the frcnn_ssm.py:44-88 postprocess (no pre-NMS
+    # score filter, per-class NMS + per-class top-k, post-NMS score filter)
+    ssm_mode: bool = False
+    ssm_out_slots: int = 300
     box_fg_iou: float = 0.5
     box_bg_iou: float = 0.5
     box_batch_size_per_image: int = 512
@@ -238,13 +243,20 @@ class FasterRCNN(nn.Module):
         rep = self.box_head(box_feats.reshape(b * n, -1))
         class_logits, box_regression = self.box_predictor(rep)
 
-        dets = jax.vmap(
-            lambda cl, br, p, pv, hw: postprocess_detections(
+        if cfg.ssm_mode:
+            post = lambda cl, br, p, pv, hw: ssm_postprocess_detections(
+                cl, br, p, pv, hw, score_thresh=cfg.box_score_thresh,
+                nms_thresh=cfg.box_nms_thresh,
+                detections_per_class=cfg.detections_per_img,
+                out_slots=cfg.ssm_out_slots)
+        else:
+            post = lambda cl, br, p, pv, hw: postprocess_detections(
                 cl, br, p, pv, hw, score_thresh=cfg.box_score_thresh,
                 nms_thresh=cfg.box_nms_thresh,
                 detections_per_img=cfg.detections_per_img)
-        )(class_logits.reshape(b, n, -1), box_regression.reshape(b, n, -1),
-          props, pvalid, valid_hw)
+        dets = jax.vmap(post)(
+            class_logits.reshape(b, n, -1), box_regression.reshape(b, n, -1),
+            props, pvalid, valid_hw)
         return dets
 
     def __call__(self, images, valid_hw):

@@ -17,6 +17,15 @@ candidates, one class-aware NMS runs over the union, and the top
 ``detections_per_img`` (300) survive globally — torchvision's modern semantics
 and a fixed-shape program; CALD scoring consumes at most ~50 detections per
 image (cald_train.py:110-113) so selection behavior is unchanged.
+
+SSM variant deviation (documented): retina_ssm.py:540-545 randomly subsamples
+each class's above-threshold candidates to 500 before NMS — a CUDA-memory
+workaround (full VOC-size score matrices blew up the per-class python NMS
+loop), not a semantic feature: it can only randomly DROP strong candidates that
+NMS would otherwise keep. The fixed-shape TPU path scores every candidate
+inside the same top-1000-per-level envelope (>= the reference's effective
+coverage: 5 levels x 1000 >= 500 per class in practice), so the subsample is
+intentionally not replicated; the SSM driver only switches NMS to 0.3.
 """
 
 from __future__ import annotations

@@ -285,3 +285,77 @@ class TestLossNet:
         sign = np.where(tdiff > 0, 1, -1)
         expect = np.clip(1.0 - sign * pdiff, 0, None).sum() / half
         np.testing.assert_allclose(float(loss_pred_loss(pred, target)), expect, rtol=1e-6)
+
+
+class TestSSMPostprocess:
+    """ssm_postprocess_detections vs a per-class numpy transcription of
+    frcnn_ssm.py:44-88 (no pre-NMS filter, per-class NMS + per-class top-k,
+    post-NMS score filter)."""
+
+    def _np_reference(self, scores, boxes, score_thresh, nms_thresh, top_per_class):
+        from tests.test_ops_nms import np_nms
+
+        n, c = scores.shape
+        out = []
+        for cls in range(1, c):
+            keep = np_nms(boxes, scores[:, cls], nms_thresh)[:top_per_class]
+            for i in keep:
+                if scores[i, cls] > score_thresh:
+                    out.append((float(scores[i, cls]), cls, i))
+        return sorted(out, reverse=True)
+
+    def test_matches_per_class_reference(self, rng):
+        from cald_tpu.models.roi_heads import ssm_postprocess_detections
+
+        n, c = 24, 4
+        logits = rng.normal(0, 2.0, (n, c)).astype(np.float32)
+        props = np.concatenate([rng.uniform(0, 40, (n, 2)),
+                                rng.uniform(42, 60, (n, 2))], 1)[:, [0, 1, 2, 3]]
+        props = props.astype(np.float32)
+        props = np.stack([props[:, 0], props[:, 1],
+                          props[:, 0] + rng.uniform(5, 20, n),
+                          props[:, 1] + rng.uniform(5, 20, n)], 1).astype(np.float32)
+        regs = np.zeros((n, c * 4), np.float32)  # decoded boxes == proposals
+        hw = np.asarray([64, 64], np.int32)
+
+        dets = jax.jit(lambda *a: ssm_postprocess_detections(
+            *a, score_thresh=0.05, nms_thresh=0.3, detections_per_class=3,
+            out_slots=32))(
+            jnp.asarray(logits), jnp.asarray(regs), jnp.asarray(props),
+            jnp.ones((n,), bool), jnp.asarray(hw))
+
+        scores_np = np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))
+        boxes_clip = np.clip(props, 0, [64, 64, 64, 64]).astype(np.float32)
+        want = self._np_reference(scores_np, boxes_clip, 0.05, 0.3, 3)
+
+        v = np.asarray(dets.valid)
+        got = sorted(
+            [(float(s), int(l)) for s, l in
+             zip(np.asarray(dets.scores)[v], np.asarray(dets.labels)[v])],
+            reverse=True)
+        assert got == [(pytest.approx(s, rel=1e-5), cls) for s, cls, _ in want]
+        # full softmax rows ride along for judge_y/judge_uv
+        rows = np.asarray(dets.scores_cls)[v]
+        assert rows.shape[1] == c
+        np.testing.assert_allclose(rows.sum(-1), 1.0, atol=1e-5)
+
+    def test_per_class_cap_and_no_prefilter(self):
+        """A class with many disjoint boxes is capped at detections_per_class;
+        sub-threshold boxes survive NMS but are filtered after (so they still
+        suppress neighbors, unlike the standard path)."""
+        from cald_tpu.models.roi_heads import ssm_postprocess_detections
+
+        n, c = 8, 2
+        # 8 disjoint boxes, scores descending; a 9th-style duplicate of box 0
+        props = np.asarray([[i * 8.0, 0.0, i * 8.0 + 6.0, 6.0] for i in range(n)],
+                           np.float32)
+        logits = np.zeros((n, c), np.float32)
+        fg = np.linspace(3.0, 1.0, n).astype(np.float32)
+        logits[:, 1] = fg
+        regs = np.zeros((n, c * 4), np.float32)
+        dets = ssm_postprocess_detections(
+            jnp.asarray(logits), jnp.asarray(regs), jnp.asarray(props),
+            jnp.ones((n,), bool), jnp.asarray([64, 64], np.int32),
+            score_thresh=0.05, nms_thresh=0.3, detections_per_class=4,
+            out_slots=16)
+        assert int(np.asarray(dets.valid).sum()) == 4  # capped per class
