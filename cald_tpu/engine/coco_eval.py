@@ -13,8 +13,9 @@ re-implements the COCOeval bbox protocol faithfully:
   - precision envelope + 101-point interpolation, the standard 12-metric
     summary (AP, AP50, AP75, APs/m/l, AR1/10/100, ARs/m/l).
 
-If pycocotools IS importable the caller may prefer it; results agree (tested
-against hand-checked scenarios in tests/test_eval.py).
+Tested against hand-checked scenarios in tests/test_engine.py and, when
+pycocotools is importable, against COCOeval on randomized scenes
+(tests/test_coco_crosscheck.py).
 """
 
 from __future__ import annotations

@@ -193,6 +193,71 @@ class TestCOCOEval:
         assert stats["AP75"] == pytest.approx(0.0)
         assert stats["AP"] == pytest.approx(0.1, abs=1e-6)
 
+    def test_crowd_absorbs_many_dets(self):
+        """Crowd-gt corner (pycocotools evaluateImg): a crowd gt may match ANY
+        number of dets; those dets are IGNORED (neither TP nor FP), so a clean
+        det on the real gt still yields perfect AP despite 2 extra dets inside
+        the crowd region."""
+        from cald_tpu.data.records import ImageRecord
+
+        classes = ("__background__", "a")
+        rec = ImageRecord(
+            image_id="0", image_path="", width=100, height=100,
+            boxes=np.array([[0, 0, 50, 50], [60, 0, 100, 40.0]], np.float32),
+            labels=np.array([1, 1], np.int32),
+            difficult=np.zeros(2, np.int32),
+            iscrowd=np.array([0, 1], np.int32))
+        ds = _FakeDataset([rec], classes)
+        results = [{"image_id": "0",
+                    "boxes": np.array([[0, 0, 50, 50],      # TP on the real gt
+                                       [62, 2, 98, 38],     # inside the crowd
+                                       [65, 5, 95, 35.0]]),  # also inside
+                    "scores": np.array([0.9, 0.8, 0.7]),
+                    "labels": np.array([1, 1, 1])}]
+        stats = coco_evaluate_detections(results, ds, print_fn=lambda *a: None)
+        # only 1 non-ignored gt; both crowd-matched dets ignored -> AP 1.0
+        assert stats["AP"] == pytest.approx(1.0)
+        assert stats["AR100"] == pytest.approx(1.0)
+
+    def test_ignored_gt_preference_ordering(self):
+        """Ignore-ordering corner: a det overlapping BOTH a non-ignored gt and
+        a better-IoU area-ignored gt must take the non-ignored one (pycocotools
+        sorts gts non-ignored-first and stops at the first ignored once a
+        non-ignored match exists)."""
+        from cald_tpu.data.records import ImageRecord
+
+        classes = ("__background__", "a")
+        # gt0 area 900 (< 32^2 -> 'small', non-ignored there); gt1 area 1156
+        # (> 32^2 -> area-IGNORED in the 'small' range), heavily overlapping
+        rec = ImageRecord(
+            image_id="0", image_path="", width=100, height=100,
+            boxes=np.array([[0, 0, 30, 30], [0, 0, 34, 34.0]], np.float32),
+            labels=np.array([1, 1], np.int32),
+            difficult=np.zeros(2, np.int32))
+        ds = _FakeDataset([rec], classes)
+        det = np.array([[0, 0, 33, 33.0]])
+        results = [{"image_id": "0", "boxes": det,
+                    "scores": np.array([0.9]), "labels": np.array([1])}]
+        stats = coco_evaluate_detections(results, ds, print_fn=lambda *a: None)
+        from cald_tpu.engine.coco_eval import IOU_THRS, iou_matrix
+
+        iou0 = iou_matrix(det, rec.boxes[:1], np.zeros(1))[0, 0]  # ~0.826
+        iou1 = iou_matrix(det, rec.boxes[1:], np.zeros(1))[0, 0]  # ~0.942
+        assert iou0 > 0.5 and iou1 > iou0
+        # 'all' range (both gts count): the det takes gt1 (higher IoU) where
+        # thr <= iou1 -> 1 TP of 2 gts, precision 1.0 at recall 0.5 -> the 51
+        # recall grid points <= 0.5 carry precision 1.0 (101-pt interpolation)
+        n_all = int((IOU_THRS <= iou1 + 1e-9).sum())
+        want_ap = (51 / 101) * n_all / len(IOU_THRS)
+        assert stats["AP"] == pytest.approx(want_ap, abs=1e-6)
+        # 'small' range: gt1 is ignored, so the det must PREFER non-ignored
+        # gt0 despite the lower IoU wherever thr <= iou0 (-> recall 1.0 of the
+        # single counted gt); above that it falls back to ignored gt1 (det
+        # ignored, not FP); unmatched at 0.95 it is ALSO ignored (det area
+        # 1089 is outside 'small') -> APs = fraction of thresholds <= iou0
+        n_small = int((IOU_THRS <= iou0 + 1e-9).sum())
+        assert stats["APs"] == pytest.approx(n_small / len(IOU_THRS), abs=1e-6)
+
     def test_classwise_table(self):
         classes = ("__background__", "a", "b")
         recs = [_rec("0", [[0, 0, 50, 50]], [1])]
