@@ -96,7 +96,16 @@ def build_model(cfg: ALConfig, num_classes: int):
 
 
 def _loaders(cfg: ALConfig, dataset, indices, *, batch_size, train: bool,
-             canvases, group_ids, seed=0):
+             canvases, group_ids, seed=0, shard: bool | None = None):
+    """``shard`` (default: ``train``): in multi-process mode, stride the index
+    list by process — the DistributedSampler analog; per-process batches then
+    combine into one global array per train step. Pass shard=False for loops
+    that must stay replicated across processes (the host-side ll4al joint step
+    and the VAAL adversary, whose models live outside the global mesh)."""
+    if (train if shard is None else shard) and jax.process_count() > 1:
+        from cald_tpu.parallel import process_shard
+
+        indices = process_shard(indices)
     rng = np.random.default_rng(seed) if train else None
     batches = grouped_batch_indices(list(indices), group_ids, batch_size, rng)
     return BatchLoader(
@@ -105,6 +114,25 @@ def _loaders(cfg: ALConfig, dataset, indices, *, batch_size, train: bool,
         transform=(lambda im, bx, r: random_horizontal_flip(im, bx, r))
         if train else None,
         num_workers=cfg.workers, seed=seed)
+
+
+def _sync_len(n: int) -> int:
+    """Globally-agreed per-epoch step count: the MIN of the per-process loader
+    lengths, so collective train steps never deadlock on a straggler's extra
+    batch. Identity single-process."""
+    if jax.process_count() == 1:
+        return n
+    from cald_tpu.parallel import all_gather_objects
+
+    return min(all_gather_objects(int(n)))
+
+
+def _lockstep(loader):
+    """Iterate a per-process train loader for exactly the agreed step count."""
+    n = _sync_len(len(loader))
+    import itertools
+
+    yield from itertools.islice(iter(loader), n)
 
 
 _PRETRAINED_SD_CACHE: dict[str, dict] = {}
@@ -142,7 +170,7 @@ def _fresh_state(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
     loader0 = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
                        train=True, canvases=canvases, group_ids=group_ids,
                        seed=cfg.seed + cycle)
-    steps_per_epoch = max(len(loader0), 1)
+    steps_per_epoch = max(_sync_len(len(loader0)), 1)
     sched = multistep_with_warmup(cfg.lr, steps_per_epoch,
                                   milestones=cfg.lr_steps, gamma=cfg.lr_gamma,
                                   warmup_iters=cfg.warmup_iters)
@@ -155,10 +183,31 @@ def _fresh_state(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
     return _apply_pretrained_backbone(state, cfg)
 
 
-def _mesh_hooks():
+def _mesh_hooks(*, train: bool = False):
     """(put_batch, put_state): shard batches / replicate state over the data
     mesh when multiple devices are visible; identity on a single chip. This is
-    the whole DDP story (SURVEY.md §2.7-2.8) — XLA adds the collectives."""
+    the whole DDP story (SURVEY.md §2.7-2.8) — XLA adds the collectives.
+
+    Multi-process (multi-host) topologies split by use:
+      * train=True: one GLOBAL mesh; per-process loader shards assemble into a
+        global batch (host_local_array_to_global_array) and the jitted step's
+        loss mean runs the gradient all-reduce over ICI/DCN;
+      * train=False (eval/pool scoring): a LOCAL mesh only — each process
+        scores its own strided shard independently and results merge host-side
+        (process_shard + process_merge_sum / all_gather_objects).
+    """
+    if jax.process_count() > 1:
+        from cald_tpu.parallel import (
+            data_mesh, global_batch, global_replicate, local_data_mesh,
+            shard_batch,
+        )
+
+        if train:
+            mesh = data_mesh()
+            return (lambda b: global_batch(b, mesh)), (
+                lambda s: global_replicate(s, mesh))
+        mesh = local_data_mesh()
+        return (lambda b: shard_batch(b, mesh)), (lambda s: s)
     if jax.device_count() <= 1:
         return (lambda b: b), (lambda s: s)
     from cald_tpu.parallel import data_mesh, replicate, shard_batch
@@ -174,7 +223,7 @@ def train_cycle(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
     """Fresh model + full training schedule on the current labeled set."""
     state = _fresh_state(cfg, model, frozen_prefixes, dataset, pool, canvases,
                          group_ids, cycle=cycle)
-    put_batch, put_state = _mesh_hooks()
+    put_batch, put_state = _mesh_hooks(train=True)
     state = put_state(state)
     step_fn = make_train_step(model)
     for epoch in range(cfg.epochs):
@@ -182,7 +231,7 @@ def train_cycle(cfg: ALConfig, model, frozen_prefixes, dataset, pool,
                           train=True, canvases=canvases, group_ids=group_ids,
                           seed=cfg.seed + cycle * 1000 + epoch)
         state, _ = train_one_epoch(
-            state, step_fn, (put_batch(b) for b in loader),
+            state, step_fn, (put_batch(b) for b in _lockstep(loader)),
             jax.random.fold_in(jax.random.key(cfg.seed), epoch),
             epoch=epoch, cycle=cycle, print_freq=cfg.print_freq)
     return state
@@ -240,16 +289,44 @@ def _scoring_model(cfg: ALConfig, model):
 def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
                      canvases, group_ids, *, cycle: int,
                      strategy_state: dict) -> np.ndarray:
-    """Dispatch on cfg.strategy; returns chosen DATASET indices."""
+    """Dispatch on cfg.strategy; returns chosen DATASET indices.
+
+    Multi-process: the batched scoring strategies stride the pool subset per
+    process (``local``), score independently on local devices, and merge the
+    score arrays host-side with a scatter + cross-process sum — every process
+    then runs the identical deterministic selection. SSM's host-side
+    cross-validation stage instead runs replicated on the full subset
+    (identical rng -> identical picks)."""
     rng = np.random.default_rng(cfg.seed + 100 + cycle)
     subset = (pool.subsample_pool(cfg.pool_cap, rng) if cfg.pool_cap
               else pool.unlabeled.copy())
     budget = cfg.budget_num
     key = jax.random.fold_in(jax.random.key(cfg.seed + 17), cycle)
     variables = state.variables
+    if jax.process_count() > 1:
+        from cald_tpu.parallel import process_merge_sum, to_host_local
 
-    def pool_loader():
-        return _loaders(cfg, dataset, subset, batch_size=cfg.score_batch_size,
+        # training produced a globally-replicated state; scoring runs on local
+        # devices, so pull the (identical) values back to host
+        variables = jax.tree.map(np.asarray, to_host_local(variables))
+        local_pos = np.arange(len(subset))[jax.process_index()::jax.process_count()]
+        local = subset[local_pos]
+    else:
+        process_merge_sum = None
+        local, local_pos = subset, None
+
+    def merge(vals):
+        """(len(local), ...) per-process scores -> (len(subset), ...) global."""
+        vals = np.asarray(vals)
+        if local_pos is None:
+            return vals
+        full = np.zeros((len(subset),) + vals.shape[1:], vals.dtype)
+        full[local_pos] = vals
+        return process_merge_sum(full)
+
+    def pool_loader(indices=None):
+        return _loaders(cfg, dataset, local if indices is None else indices,
+                        batch_size=cfg.score_batch_size,
                         train=False, canvases=canvases, group_ids=group_ids)
 
     if cfg.strategy == "random":
@@ -264,7 +341,8 @@ def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
                                           cfg.num_classes))
         put_batch, _ = _mesh_hooks()
         consistency, corrs = score_pool(score_fn, variables, pool_loader(), key,
-                                        subset, put=put_batch)
+                                        local, put=put_batch)
+        consistency, corrs = merge(consistency), merge(corrs)
         labeled_mean = labeled_class_counts(dataset, pool.labeled,
                                             cfg.num_classes - 1)
         picked = cald_select(consistency, corrs, labeled_mean, budget, ccfg)
@@ -273,47 +351,56 @@ def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
     if cfg.strategy == "ltc":
         fn = strategy_state.setdefault(
             "ltc_fn", make_ltc_score_fn(_scoring_model(cfg, model)))
-        u = run_ltc(fn, variables, pool_loader(), subset)
+        u = merge(run_ltc(fn, variables, pool_loader(), local))
         return subset[np.argsort(u, kind="stable")[:budget]]
 
     if cfg.strategy == "lsc":
         fn = strategy_state.setdefault(
             "lsc_fn", make_lsc_score_fn(_scoring_model(cfg, model)))
-        s = lsc_scores(fn, variables, pool_loader(), key, subset)
+        s = merge(lsc_scores(fn, variables, pool_loader(), key, local))
         return subset[np.argsort(s, kind="stable")[:budget]]
 
     if cfg.strategy == "ll4al":
         lossnet = strategy_state["lossnet"]
         ll_params = strategy_state["ll_state"].params
         fn = strategy_state.setdefault("ll_fn", make_ll_score_fn(model, lossnet))
-        pred = ll_scores(fn, variables, ll_params, pool_loader(), subset)
+        pred = merge(ll_scores(fn, variables, ll_params, pool_loader(), local))
         return subset[ll_select(pred, budget)]
 
     if cfg.strategy == "vaal":
         trainer: VAALTrainer = strategy_state["vaal"]
-        scores = np.zeros(len(subset))
-        pos = {int(i): p for p, i in enumerate(subset)}
+        scores = np.zeros(len(local))
+        pos = {int(i): p for p, i in enumerate(local)}
         for bi, batch in enumerate(pool_loader()):
             s = trainer.unlabeled_scores(jnp.asarray(batch.images),
                                          jax.random.fold_in(key, bi))
             for i, idx in enumerate(batch.image_idx):
                 scores[pos[int(idx)]] = s[i]
-        return subset[vaal_select(scores, budget)]
+        return subset[vaal_select(merge(scores), budget)]
 
     if cfg.strategy == "ssm":
         scfg: SSMConfig = strategy_state.setdefault("ssm_cfg", SSMConfig())
         gamma = strategy_state.setdefault("gamma", scfg.gamma)
         clslambda = strategy_state.setdefault(
             "clslambda", np.full(cfg.num_classes - 1, np.log(2.0)))
-        # ssm_mode uses per-class NMS at 0.3 (frcnn_ssm.py:88); the variant
-        # model shares the trained params (configs differ only in postprocess)
+        # the SSM scoring variant shares the trained params; configs differ
+        # only in postprocess. FRCNN runs the dedicated frcnn_ssm.py:44-88
+        # semantics (ssm_mode: no pre-NMS score filter, per-class NMS 0.3 +
+        # per-class top-k, post-NMS score filter); RetinaNet approximates with
+        # NMS 0.3 through its standard path (the retina_ssm.py:540-545 random
+        # per-class 500-subsample is a CUDA-memory workaround, not a semantic
+        # feature — the fixed-shape TPU path scores all candidates, see
+        # models/retinanet.py docstring)
         import dataclasses as _dc
 
         ssm_model = type(model)(_dc.replace(
-            model.cfg, **({"box_nms_thresh": scfg.nms_thresh}
+            model.cfg, **({"box_nms_thresh": scfg.nms_thresh, "ssm_mode": True}
                           if hasattr(model.cfg, "box_nms_thresh")
                           else {"nms_thresh": scfg.nms_thresh})))
-        by_idx = _ssm_pool_detections(ssm_model, variables, pool_loader(), scfg)
+        # full subset on every process: the CV stage is host-side + rng-driven,
+        # so it must see identical inputs everywhere to pick identically
+        by_idx = _ssm_pool_detections(ssm_model, variables, pool_loader(subset),
+                                      scfg)
         pool_dets = [by_idx[int(idx)] for idx in subset]
         from cald_tpu.data.loader import decode_image
 
@@ -366,6 +453,9 @@ def _ssm_pool_detections(model, variables, loader, scfg) -> dict[int, dict]:
 
 def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
     """Run the full AL experiment; returns per-cycle result dicts."""
+    from cald_tpu.parallel import initialize_distributed
+
+    initialize_distributed()  # env-gated; single-process no-op
     cfg = cfg.resolve()
     train_ds, test_ds = datasets if datasets is not None else build_datasets(cfg)
     num_classes = len(train_ds.class_names)
@@ -407,7 +497,15 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
         else:
             state = train_cycle(cfg, model, frozen_prefixes, train_ds, pool,
                                 canvases, group_ids, cycle=cycle)
-        if cycle == 0 and first_ckpt and not (cfg.skip and os.path.isdir(first_ckpt)):
+        if jax.process_count() > 1:
+            # globally-replicated training state -> host numpy, so eval/
+            # scoring/checkpointing below run process-locally
+            from cald_tpu.parallel import to_host_local
+
+            state = to_host_local(state)
+        if (cycle == 0 and first_ckpt
+                and not (cfg.skip and os.path.isdir(first_ckpt))
+                and jax.process_index() == 0):
             # save the first-cycle model for later --skip runs
             # (reference cald_train.py:418-426)
             save_checkpoint(first_ckpt, state, meta={"cycle": 0})
@@ -425,13 +523,18 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
 
         stats = {}
         if cfg.eval_every_cycle:
-            test_loader = _loaders(cfg, test_ds, range(len(test_ds)),
+            test_indices = range(len(test_ds))
+            if jax.process_count() > 1:
+                from cald_tpu.parallel import process_shard
+
+                test_indices = process_shard(test_indices, pad=False)
+            test_loader = _loaders(cfg, test_ds, test_indices,
                                    batch_size=cfg.score_batch_size, train=False,
                                    canvases=canvases, group_ids=test_group_ids)
             stats = evaluate(model, state.variables, test_loader, test_ds,
                              kind=cfg.eval_kind, classwise=cfg.classwise)
 
-        if cfg.output_dir:
+        if cfg.output_dir and jax.process_index() == 0:
             save_checkpoint(os.path.join(cfg.output_dir, f"cycle_{cycle}"),
                             state, pool=pool, rng=jax.random.key(cfg.seed),
                             meta={"cycle": cycle})
@@ -448,13 +551,19 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
 
 def _train_cycle_ll4al(cfg, model, frozen_prefixes, lossnet, dataset, pool,
                        canvases, group_ids, *, cycle: int):
-    """Joint detector+LossNet training (ll_train.py:55-133)."""
+    """Joint detector+LossNet training (ll_train.py:55-133).
+
+    Multi-process note: this loop runs REPLICATED (shard=False) — every process
+    trains the identical model on the identical batches, because the joint
+    task+LossNet step lives outside the global mesh. Redundant but correct;
+    scoring still shards the pool."""
     from cald_tpu.engine.state import TrainState
 
     example = (jnp.zeros((cfg.batch_size, canvases[0].height, canvases[0].width, 3)),
                jnp.zeros((cfg.batch_size, 2), jnp.int32))
     loader0 = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
-                       train=True, canvases=canvases, group_ids=group_ids)
+                       train=True, canvases=canvases, group_ids=group_ids,
+                       shard=False)
     sched = multistep_with_warmup(cfg.lr, max(len(loader0), 1),
                                   milestones=cfg.lr_steps, gamma=cfg.lr_gamma,
                                   warmup_iters=cfg.warmup_iters)
@@ -478,7 +587,7 @@ def _train_cycle_ll4al(cfg, model, frozen_prefixes, lossnet, dataset, pool,
     for epoch in range(cfg.epochs):
         loader = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
                           train=True, canvases=canvases, group_ids=group_ids,
-                          seed=cfg.seed + cycle * 1000 + epoch)
+                          seed=cfg.seed + cycle * 1000 + epoch, shard=False)
         detach = epoch >= cfg.task_epochs
         metrics = None
         for bi, batch in enumerate(loader):
@@ -524,11 +633,12 @@ def _vaal_adversary_epoch(cfg, trainer: VAALTrainer, dataset, pool, canvases,
     seed = cfg.seed + cycle * 1000 + epoch
     lab_loader = _loaders(cfg, dataset, pool.labeled,
                           batch_size=cfg.batch_size, train=True,
-                          canvases=canvases, group_ids=group_ids, seed=seed)
+                          canvases=canvases, group_ids=group_ids, seed=seed,
+                          shard=False)
     unlab_loader = _loaders(cfg, dataset, pool.unlabeled,
                             batch_size=cfg.batch_size, train=True,
                             canvases=canvases, group_ids=group_ids,
-                            seed=seed + 1)
+                            seed=seed + 1, shard=False)
     key = jax.random.fold_in(jax.random.key(cfg.seed + 31),
                              cycle * 1000 + epoch)
     vloss = dloss = float("nan")
@@ -549,19 +659,19 @@ def _train_cycle_vaal(cfg, model, frozen_prefixes, dataset, pool, canvases,
     train_one_epoch covers the task loop AND the adversarial loop)."""
     state = _fresh_state(cfg, model, frozen_prefixes, dataset, pool, canvases,
                          group_ids, cycle=cycle)
-    put_batch, put_state = _mesh_hooks()
+    put_batch, put_state = _mesh_hooks(train=True)
     state = put_state(state)
     step_fn = make_train_step(model)
     loader0 = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
                        train=True, canvases=canvases, group_ids=group_ids,
-                       seed=cfg.seed + cycle)
+                       seed=cfg.seed + cycle, shard=False)
     trainer = _make_vaal_trainer(cfg, max(len(loader0), 1), cycle)
     for epoch in range(cfg.epochs):
         loader = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
                           train=True, canvases=canvases, group_ids=group_ids,
                           seed=cfg.seed + cycle * 1000 + epoch)
         state, _ = train_one_epoch(
-            state, step_fn, (put_batch(b) for b in loader),
+            state, step_fn, (put_batch(b) for b in _lockstep(loader)),
             jax.random.fold_in(jax.random.key(cfg.seed), epoch),
             epoch=epoch, cycle=cycle, print_freq=cfg.print_freq)
         _vaal_adversary_epoch(cfg, trainer, dataset, pool, canvases, group_ids,

@@ -28,6 +28,9 @@ from cald_tpu.parallel import data_mesh, replicate, shard_batch
 
 
 def main(argv=None):
+    from cald_tpu.parallel import initialize_distributed
+
+    initialize_distributed()  # env-gated; single-process no-op
     parser = make_parser()
     parser.add_argument("--resume", default="")
     args = parser.parse_args(argv)
@@ -59,29 +62,50 @@ def main(argv=None):
         start_epoch = int(meta.get("epoch", -1)) + 1
         print(f"resumed from {args.resume} at epoch {start_epoch}")
 
-    if jax.device_count() > 1:
+    if jax.process_count() > 1:
+        from cald_tpu.cli.driver import _lockstep, _mesh_hooks
+
+        put, put_state = _mesh_hooks(train=True)
+        state = put_state(state)
+        lockstep = _lockstep
+        print(f"multi-process data-parallel: {jax.process_count()} processes, "
+              f"{jax.device_count()} devices")
+    elif jax.device_count() > 1:
         mesh = data_mesh()
         state = jax.tree.map(
             lambda x: replicate(x, mesh) if hasattr(x, "shape") else x, state)
         put = lambda b: shard_batch(b, mesh)
+        lockstep = iter
         print(f"data-parallel over {jax.device_count()} devices")
     else:
         put = lambda b: b
+        lockstep = iter
 
     step_fn = make_train_step(model)
     for epoch in range(start_epoch, cfg.epochs):
         loader = _loaders(cfg, train_ds, pool.labeled, batch_size=cfg.batch_size,
                           train=True, canvases=canvases, group_ids=group_ids,
                           seed=cfg.seed + epoch)
-        batches = (put(b) for b in loader)
+        batches = (put(b) for b in lockstep(loader))
         state, _ = train_one_epoch(state, step_fn, batches,
                                    jax.random.key(cfg.seed), epoch=epoch,
                                    print_freq=cfg.print_freq)
-        if cfg.output_dir:
-            save_checkpoint(os.path.join(cfg.output_dir, "last"), state,
+        if cfg.output_dir and jax.process_index() == 0:
+            from cald_tpu.parallel import to_host_local
+
+            save_checkpoint(os.path.join(cfg.output_dir, "last"),
+                            to_host_local(state) if jax.process_count() > 1
+                            else state,
                             meta={"epoch": epoch})
     if cfg.eval_every_cycle:
-        test_loader = _loaders(cfg, test_ds, range(len(test_ds)),
+        if jax.process_count() > 1:
+            from cald_tpu.parallel import process_shard, to_host_local
+
+            state = to_host_local(state)
+            test_indices = process_shard(range(len(test_ds)), pad=False)
+        else:
+            test_indices = range(len(test_ds))
+        test_loader = _loaders(cfg, test_ds, test_indices,
                                batch_size=cfg.score_batch_size, train=False,
                                canvases=canvases, group_ids=test_group_ids)
         evaluate(model, state.variables, test_loader, test_ds, kind=cfg.eval_kind)

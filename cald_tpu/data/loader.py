@@ -148,6 +148,12 @@ class BatchLoader:
     def __iter__(self) -> Iterable[Batch]:
         if not self.batches:
             return
+        if self.num_workers <= 0:
+            # synchronous path (the reference's -j 0 semantics): decode on the
+            # consumer thread, no prefetch
+            for n, idxs in enumerate(self.batches):
+                yield self._build(n, idxs)
+            return
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -45,8 +45,21 @@ def run_inference(model, variables, loader, *, score_thresh: float = 0.0,
 
 def evaluate(model, variables, loader, dataset, *, kind: str,
              classwise: bool = False, print_fn=print) -> dict:
-    """kind: 'voc' or 'coco'. Returns the metric dict from the evaluator."""
+    """kind: 'voc' or 'coco'. Returns the metric dict from the evaluator.
+
+    Multi-process: each process runs inference on its own loader shard; the
+    per-image result dicts are merged across processes before the (replicated,
+    deterministic) evaluator runs — the analog of the reference's
+    utils.all_gather of pickled predictions (utils.py:75-115)."""
     results = run_inference(model, variables, loader)
+    if jax.process_count() > 1:
+        from cald_tpu.parallel import all_gather_objects
+
+        by_idx = {}
+        for lst in all_gather_objects(results):
+            for r in lst:
+                by_idx[r["dataset_index"]] = r
+        results = list(by_idx.values())
     for r in results:
         r["image_id"] = dataset.record(r["dataset_index"]).image_id
     if kind == "voc":
