@@ -20,10 +20,12 @@ def test_tiny_frcnn_learns_colored_boxes(tmp_path):
     ds = get_voc2007(root, "trainval")
     cfg = ALConfig(
         dataset="voc2007", data_path=root, model="faster", strategy="random",
-        tiny=True, norm="group", cycles=1, epochs=60, batch_size=4,
+        tiny=True, norm="group", cycles=1, epochs=30, batch_size=4,
         init_num=32, budget_num=1, score_batch_size=4, workers=4,
         min_size=96, max_size=128, max_boxes=8, print_freq=100000,
-        lr=0.01, lr_steps=(40, 52), aspect_ratio_group_factor=0).resolve()
+        lr=0.01, lr_steps=(20, 26), aspect_ratio_group_factor=0).resolve()
+    # 30 epochs measured: per-class AP50 0.97-1.0 (60 epochs adds nothing;
+    # 20 epochs still passes at ~0.91 — margin kept for backend variance)
     hist = al_loop(cfg, datasets=(ds, ds))
     per_class = hist[0]["eval"]["per_class_ap50"]
     present = {k: v for k, v in per_class.items()
