@@ -128,12 +128,20 @@ class FasterRCNN(nn.Module):
         self.box_head = TwoMLPHead(cfg.representation_size, dtype=dt)
         self.box_predictor = FastRCNNPredictor(cfg.num_classes, dtype=dt)
 
-    def _features(self, images: jnp.ndarray) -> list[jnp.ndarray]:
+    def _features(self, images: jnp.ndarray, *,
+                  allow_fused: bool = False) -> list[jnp.ndarray]:
         x = (images / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         dt = _dtype(self.cfg.compute_dtype)
         if dt is not None:
             x = x.astype(dt)
-        feats = self.backbone(x)
+        # allow_fused: inference-only Pallas bottleneck stages (no vjp); the
+        # training loss path and extract_features stay on the exact XLA path
+        from cald_tpu.models.resnet import ResNetBackbone
+
+        if isinstance(self.backbone, ResNetBackbone):
+            feats = self.backbone(x, allow_fused=allow_fused)
+        else:
+            feats = self.backbone(x)
         return self.fpn([feats[k] for k in self._feat_keys])
 
     def extract_features(self, images: jnp.ndarray) -> list[jnp.ndarray]:
@@ -231,7 +239,7 @@ class FasterRCNN(nn.Module):
         """Inference: fixed-slot detections in resized-image coordinates, with
         CALD extras. Rescale to original coords with Detections.rescale."""
         cfg = self.cfg
-        pyramid = self._features(images)
+        pyramid = self._features(images, allow_fused=True)
         _, _, _, props, _, pvalid = self._proposals(pyramid, valid_hw, train=False)
 
         b, n = props.shape[:2]

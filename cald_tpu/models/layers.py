@@ -20,20 +20,32 @@ class FrozenBatchNorm(nn.Module):
     backbones): y = (x - mean) * scale / sqrt(var + eps) + bias, where every
     tensor lives in the ``frozen`` variable collection — the optimizer never
     sees them, exactly like requires_grad=False in the reference.
+
+    ``fold()`` exposes the affine form (w, b) so callers can fold the norm
+    into an adjacent conv (the fused Pallas bottleneck path).
     """
 
     features: int
     eps: float = 1e-5
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         f = self.features
-        scale = self.variable("frozen", "scale", lambda: jnp.ones((f,), jnp.float32))
-        bias = self.variable("frozen", "bias", lambda: jnp.zeros((f,), jnp.float32))
-        mean = self.variable("frozen", "mean", lambda: jnp.zeros((f,), jnp.float32))
-        var = self.variable("frozen", "var", lambda: jnp.ones((f,), jnp.float32))
-        w = scale.value / jnp.sqrt(var.value + self.eps)
-        b = bias.value - mean.value * w
+        self._scale = self.variable("frozen", "scale",
+                                    lambda: jnp.ones((f,), jnp.float32))
+        self._bias = self.variable("frozen", "bias",
+                                   lambda: jnp.zeros((f,), jnp.float32))
+        self._mean = self.variable("frozen", "mean",
+                                   lambda: jnp.zeros((f,), jnp.float32))
+        self._var = self.variable("frozen", "var",
+                                  lambda: jnp.ones((f,), jnp.float32))
+
+    def fold(self):
+        """(w, b) f32 such that norm(x) == x * w + b."""
+        w = self._scale.value / jnp.sqrt(self._var.value + self.eps)
+        return w, self._bias.value - self._mean.value * w
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w, b = self.fold()
         # fold stats in f32, apply in the activation dtype (bf16 compute path)
         return x * w.astype(x.dtype) + b.astype(x.dtype)
 

@@ -22,7 +22,13 @@ from cald_tpu.models.layers import conv_kaiming, make_norm
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3(stride) -> 1x1(x4) with projection shortcut on shape change."""
+    """1x1 -> 3x3(stride) -> 1x1(x4) with projection shortcut on shape change.
+
+    ``folded=True`` (stride-1 identity blocks, frozen norm only) returns the
+    block's folded-weight tuple for the fused Pallas stage kernel instead of
+    computing: (w1 (C,P), b1, w2 (3,3,P,P), b2, w3 (P,C4), b3) with each
+    frozen norm folded into its conv (ops/pallas_bottleneck.py).
+    """
 
     planes: int
     stride: int = 1
@@ -30,22 +36,42 @@ class Bottleneck(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, folded: bool = False):
         norm = make_norm(self.norm, self.dtype)
         out_ch = self.planes * 4
+        conv1 = nn.Conv(self.planes, (1, 1), use_bias=False,
+                        kernel_init=conv_kaiming, dtype=self.dtype, name="conv1")
+        bn1 = norm(self.planes)
+        conv2 = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                        padding=[(1, 1), (1, 1)], use_bias=False,
+                        kernel_init=conv_kaiming, dtype=self.dtype, name="conv2")
+        bn2 = norm(self.planes)
+        conv3 = nn.Conv(out_ch, (1, 1), use_bias=False,
+                        kernel_init=conv_kaiming, dtype=self.dtype, name="conv3")
+        bn3 = norm(out_ch)
+
+        if folded:
+            assert self.stride == 1 and x.shape[-1] == out_ch and \
+                self.norm == "frozen", "folded needs a stride-1 identity block"
+            dt = self.dtype or jnp.float32
+            # materialize the conv params without real compute (DCE'd)
+            conv1(jnp.zeros((1, 1, 1, x.shape[-1]), dt))
+            conv2(jnp.zeros((1, 1, 1, self.planes), dt))
+            conv3(jnp.zeros((1, 1, 1, self.planes), dt))
+            from cald_tpu.ops.pallas_bottleneck import fold_frozen
+
+            k1 = conv1.variables["params"]["kernel"][0, 0]       # (C, P)
+            k2 = conv2.variables["params"]["kernel"]             # (3, 3, P, P)
+            k3 = conv3.variables["params"]["kernel"][0, 0]       # (P, C4)
+            w1, b1 = fold_frozen(k1, *bn1.fold())
+            w2, b2 = fold_frozen(k2, *bn2.fold())
+            w3, b3 = fold_frozen(k3, *bn3.fold())
+            return w1, b1, w2, b2, w3, b3
+
         identity = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=conv_kaiming,
-                    dtype=self.dtype, name="conv1")(x)
-        y = norm(self.planes)(y)
-        y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False,
-                    kernel_init=conv_kaiming, dtype=self.dtype, name="conv2")(y)
-        y = norm(self.planes)(y)
-        y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, kernel_init=conv_kaiming,
-                    dtype=self.dtype, name="conv3")(y)
-        y = norm(out_ch)(y)
+        y = nn.relu(bn1(conv1(x)))
+        y = nn.relu(bn2(conv2(y)))
+        y = bn3(conv3(y))
         if identity.shape[-1] != out_ch or self.stride != 1:
             identity = nn.Conv(out_ch, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=conv_kaiming,
@@ -66,8 +92,27 @@ class ResNetBackbone(nn.Module):
     norm: str = "frozen"
     dtype: object = None
 
+    def _fuse_gate(self) -> bool:
+        """Fused Pallas bottleneck stages: frozen-norm TPU inference only (the
+        fused path folds norms into weights and has no autodiff rule).
+
+        OPT-IN (CALD_TPU_PALLAS_BNECK=1): measured at parity-to-slightly-worse
+        vs XLA's convs on v5e (XLA convs run ~125 TFLOP/s and pipeline well;
+        the VMEM-resident win did not materialize — PERF.md round 2), so the
+        default stays on the XLA path. Kept as the scaffold for future
+        stage-in-one-kernel fusion.
+        """
+        import os
+
+        import jax as _jax
+
+        return (self.norm == "frozen"
+                and _jax.default_backend() in ("tpu", "axon")
+                and os.environ.get("CALD_TPU_PALLAS_BNECK") == "1")
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, *,
+                 allow_fused: bool = False) -> dict[str, jnp.ndarray]:
         norm = make_norm(self.norm, self.dtype)
         w = self.width
         y = nn.Conv(w, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
@@ -76,13 +121,30 @@ class ResNetBackbone(nn.Module):
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        fuse = allow_fused and self._fuse_gate()
         feats = {}
         for stage, n_blocks in enumerate(self.blocks_per_stage):
             planes = w * (2 ** stage)
-            for b in range(n_blocks):
-                stride = 2 if (b == 0 and stage > 0) else 1
-                y = Bottleneck(planes, stride, self.norm, self.dtype,
-                               name=f"layer{stage + 1}_{b}")(y)
+            blocks = [Bottleneck(planes, 2 if (b == 0 and stage > 0) else 1,
+                                 self.norm, self.dtype,
+                                 name=f"layer{stage + 1}_{b}")
+                      for b in range(n_blocks)]
+            # block 0 (projection / stride-2) always runs the XLA path; the
+            # stride-1 identity suffix fuses into one VMEM-resident Pallas
+            # chain when shapes admit a tiling (ops/pallas_bottleneck.py)
+            y = blocks[0](y)
+            rest = blocks[1:]
+            out = None
+            if fuse and rest:
+                from cald_tpu.ops.pallas_bottleneck import maybe_fused_stage
+
+                folded = [blk(y, folded=True) for blk in rest]
+                out = maybe_fused_stage(y, folded)
+            if out is None:
+                for blk in rest:
+                    y = blk(y)
+            else:
+                y = out
             feats[f"c{stage + 2}"] = y
         return feats
 

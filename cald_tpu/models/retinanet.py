@@ -237,11 +237,16 @@ class RetinaNet(nn.Module):
         if cfg.backbone == "mobilenet":
             self.reduce = nn.Conv(cfg.fpn_channels, (1, 1), dtype=dt, name="reduce")
 
-    def _features(self, images):
+    def _features(self, images, *, allow_fused: bool = False):
         x = (images / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         if self.cfg.compute_dtype != "float32":
             x = x.astype(jnp.dtype(self.cfg.compute_dtype))
-        feats = self.backbone(x)
+        from cald_tpu.models.resnet import ResNetBackbone
+
+        if isinstance(self.backbone, ResNetBackbone):
+            feats = self.backbone(x, allow_fused=allow_fused)
+        else:
+            feats = self.backbone(x)
         maps = [feats[k] for k in self._feat_keys]
         if self.fpn is None:
             return [self.reduce(maps[-1])]
