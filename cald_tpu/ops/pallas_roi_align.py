@@ -165,7 +165,7 @@ def _fwd_call(padded, levels, yw0, xw0, wy, wx, *, output_size: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(r,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in padded]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in padded]
         + [pl.BlockSpec((1, output_size, WIN_H), lambda i, *_: (i, 0, 0)),
            pl.BlockSpec((1, output_size, SPAN), lambda i, *_: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, output_size, output_size, c),
@@ -233,12 +233,12 @@ def _bwd_call(g, padded_shapes, levels, yw0, xw0, wy, wx, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(r,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in padded_shapes]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in padded_shapes]
         + [pl.BlockSpec((1, output_size, output_size, c),
                         lambda i, *_: (i, 0, 0, 0)),
            pl.BlockSpec((1, output_size, WIN_H), lambda i, *_: (i, 0, 0)),
            pl.BlockSpec((1, output_size, SPAN), lambda i, *_: (i, 0, 0))],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)
                    for _ in padded_shapes],
         scratch_shapes=[pltpu.VMEM((WIN_H, SPAN, c), jnp.float32),
                         pltpu.SemaphoreType.DMA],
