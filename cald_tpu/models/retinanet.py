@@ -18,6 +18,14 @@ candidates, one class-aware NMS runs over the union, and the top
 and a fixed-shape program; CALD scoring consumes at most ~50 detections per
 image (cald_train.py:110-113) so selection behavior is unchanged.
 
+Channel-0 deviation (documented): the reference's per-class postprocess loop
+includes sigmoid channel 0 (retinanet_cal.py:437), a channel that one-hot
+training (labels 1..20) drives toward zero for every anchor — it only emits
+detections from untrained heads, and a label-0 "detection" would corrupt the
+label-keyed evaluators. The TPU path masks label 0 out of the candidate set
+(``cand &= labels > 0``); tests/test_golden_retina.py pins parity on the
+remaining classes.
+
 SSM variant deviation (documented): retina_ssm.py:540-545 randomly subsamples
 each class's above-threshold candidates to 500 before NMS — a CUDA-memory
 workaround (full VOC-size score matrices blew up the per-class python NMS
