@@ -87,18 +87,12 @@ def _tiled_suppression(sboxes: jnp.ndarray, alive0: jnp.ndarray,
 
 def _suppress(sboxes: jnp.ndarray, salive: jnp.ndarray,
               iou_threshold: float) -> jnp.ndarray:
-    """Dispatch between the XLA tiled loop (default) and the Pallas in-VMEM
-    kernel (CALD_TPU_PALLAS_NMS=1, TPU only). Identical results; measured
-    throughput is equal inside the fused scoring program, and the Mosaic
-    kernel currently fails to compile under wide vmap batches on the v5e
-    remote-compile path — so XLA stays the default this round."""
-    import os
-
-    if (os.environ.get("CALD_TPU_PALLAS_NMS") == "1"
-            and jax.default_backend() in ("tpu", "axon")):
-        from cald_tpu.ops.pallas_nms import pallas_suppression
-
-        return pallas_suppression(sboxes, salive, iou_threshold)
+    """The XLA tiled loop. (A Pallas in-VMEM suppression kernel existed as an
+    opt-in through round 2 and was REMOVED: measured throughput-neutral
+    end-to-end twice — NMS is a tiny slice of the scoring program — and the
+    Mosaic kernel failed to compile under wide vmap batches on the v5e
+    remote-compile path. Recoverable from git history if NMS ever dominates a
+    profile.)"""
     return _tiled_suppression(sboxes, salive, iou_threshold)
 
 
