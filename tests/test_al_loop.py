@@ -163,3 +163,39 @@ class TestALLoop:
                         first_checkpoint_path=str(tmp_path))
         hist = al_loop(cfg2, datasets=(ds, ds))
         assert len(hist) == 1
+
+
+@pytest.mark.slow
+def test_driver_applies_pretrained_backbone(tmp_path, rng):
+    """--pretrained-backbone flows through _fresh_state into the cycle's model
+    (the analog of pretrained_backbone=True, frcnn_la.py:283)."""
+    torch = pytest.importorskip("torch")
+
+    from cald_tpu.cli.driver import _fresh_state, build_model
+    from cald_tpu.data import ALPoolState, create_aspect_ratio_groups, default_canvases, get_voc2007
+    from cald_tpu.convert.torchvision_import import torch_conv_to_flax
+    from tests.fixtures import make_voc
+    from tests.test_convert import _fake_torchvision_sd
+
+    root = make_voc(tmp_path / "voc", num_images=4)
+    ds = get_voc2007(root, "trainval")
+    path = str(tmp_path / "resnet50.pth")
+    sd = _fake_torchvision_sd(rng)
+    torch.save(sd, path)
+
+    cfg = mini_cfg(root, model="faster", tiny=False, norm="frozen",
+                   min_size=96, max_size=128, pretrained_backbone=path)
+    model, frozen = build_model(cfg, 21)
+    canvases = default_canvases(cfg.min_size, cfg.max_size)
+    group_ids = create_aspect_ratio_groups(ds.aspect_ratios(),
+                                           cfg.aspect_ratio_group_factor)
+    pool = ALPoolState.initial(len(ds), cfg.init_num, cfg.seed)
+    state = _fresh_state(cfg, model, frozen, ds, pool, canvases, group_ids,
+                         cycle=0)
+    np.testing.assert_allclose(
+        np.asarray(state.params["backbone"]["conv1"]["kernel"]),
+        torch_conv_to_flax(np.asarray(sd["conv1.weight"])), rtol=1e-6)
+    # frozen BN stats came along too
+    np.testing.assert_allclose(
+        np.asarray(state.frozen["backbone"]["FrozenBatchNorm_0"]["mean"]),
+        np.asarray(sd["bn1.running_mean"]), rtol=1e-6)
