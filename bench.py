@@ -24,15 +24,21 @@ import numpy as np
 REFERENCE_IMG_PER_SEC = 3.0
 
 
-def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21):
-    from cald_tpu.models import fasterrcnn_resnet50_fpn_feature
+def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21,
+          model_name: str = "faster"):
+    from cald_tpu.models import (
+        fasterrcnn_resnet50_fpn_feature, retinanet_resnet50_fpn_cal,
+    )
     from cald_tpu.strategies import CALDConfig, make_cald_score_fn
 
-    # the driver's default fast-scoring counts (cli/config.py
-    # score_rpn_pre_nms/score_rpn_post_nms; training/eval keep 1000/1000)
-    model = fasterrcnn_resnet50_fpn_feature(
-        num_classes=num_classes,
-        rpn_pre_nms_top_n_test=400, rpn_post_nms_top_n_test=256)
+    if model_name == "retina":
+        model = retinanet_resnet50_fpn_cal(num_classes)
+    else:
+        # the driver's default fast-scoring counts (cli/config.py
+        # score_rpn_pre_nms/score_rpn_post_nms; training/eval keep 1000/1000)
+        model = fasterrcnn_resnet50_fpn_feature(
+            num_classes=num_classes,
+            rpn_pre_nms_top_n_test=400, rpn_post_nms_top_n_test=256)
     h, w = canvas_hw
     images = jnp.zeros((batch_size, h, w, 3), jnp.float32)
     valid_hw = jnp.asarray([[600, 1000]] * batch_size, jnp.int32)
@@ -41,8 +47,9 @@ def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21):
     return score_fn, variables
 
 
-def run(batch_size: int = 8, iters: int = 10, canvas_hw=(640, 1024)) -> dict:
-    score_fn, variables = build(batch_size, canvas_hw)
+def run(batch_size: int = 8, iters: int = 10, canvas_hw=(640, 1024),
+        model_name: str = "faster") -> dict:
+    score_fn, variables = build(batch_size, canvas_hw, model_name=model_name)
     h, w = canvas_hw
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 255, (batch_size, h, w, 3)), jnp.float32)
@@ -71,14 +78,20 @@ def run(batch_size: int = 8, iters: int = 10, canvas_hw=(640, 1024)) -> dict:
 
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    # optional second arg: "faster" (default, the driver-recorded metric)
+    # or "retina" for the RetinaNet family
+    model_name = sys.argv[2] if len(sys.argv) > 2 else "faster"
     try:
-        result = run(batch_size=batch_size)
+        result = run(batch_size=batch_size, model_name=model_name)
     except Exception as e:  # OOM etc: retry smaller before giving up
         if batch_size > 1:
-            result = run(batch_size=max(1, batch_size // 4))
+            result = run(batch_size=max(1, batch_size // 4),
+                         model_name=model_name)
             result["note"] = f"fallback batch after: {type(e).__name__}"
         else:
             raise
+    if model_name != "faster":
+        result["metric"] += f"_{model_name}"
     print(json.dumps(result))
 
 

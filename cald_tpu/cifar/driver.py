@@ -147,6 +147,9 @@ class CifarLL4AL:
         return run
 
     def train_epoch(self, images, labels, order, epoch: int, key: jax.Array):
+        """Fixed-shape note: a trailing partial batch is dropped (one compiled
+        step shape; the reference's torch loader pads nothing and LossPredLoss
+        asserts even batch sizes anyway, ll4al/main.py:66)."""
         cfg = self.cfg
         detach = epoch > cfg.epoch_loss   # strict >, ll4al/main.py:107
         metrics = {}

@@ -105,10 +105,16 @@ def make_coco(root, num_images=5, hw=(50, 60), num_classes=3, seed=0,
     return str(root)
 
 
-def make_learnable_voc(root, num_images=32, hw=(96, 128), seed=0, year="2007"):
+def make_learnable_voc(root, num_images=32, hw=(96, 128), seed=0, year="2007",
+                       class_probs=None):
     """A LEARNABLE synthetic VOC set: solid color-coded rectangles (class =
     color) on a gray background. A tiny detector reaches per-class AP50 > 0.9
-    within ~60 short epochs — the end-to-end training-signal check.
+    within ~30 short epochs — the end-to-end training-signal check.
+
+    ``class_probs``: optional per-class sampling weights (default uniform) —
+    imbalanced pools are the setup for selection-effectiveness experiments
+    (CALD's class-balance stage should find the rare class faster than
+    random; experiments/selection_effectiveness.py).
     """
     import os
 
@@ -117,6 +123,8 @@ def make_learnable_voc(root, num_images=32, hw=(96, 128), seed=0, year="2007"):
     rng = np.random.default_rng(seed)
     classes = ["aeroplane", "bicycle", "bird"]
     colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220)]
+    probs = (np.asarray(class_probs, float) / np.sum(class_probs)
+             if class_probs is not None else None)
     voc = os.path.join(str(root), f"VOC{year}")
     for sub in ("JPEGImages", "Annotations", os.path.join("ImageSets", "Main")):
         os.makedirs(os.path.join(voc, sub), exist_ok=True)
@@ -129,7 +137,7 @@ def make_learnable_voc(root, num_images=32, hw=(96, 128), seed=0, year="2007"):
         img += rng.integers(-10, 10, img.shape).astype(np.uint8)
         objs = []
         for _ in range(int(rng.integers(1, 3))):
-            c = int(rng.integers(len(classes)))
+            c = int(rng.choice(len(classes), p=probs))
             bw, bh = int(rng.integers(24, 48)), int(rng.integers(24, 48))
             x1 = int(rng.integers(1, w - bw))
             y1 = int(rng.integers(1, h - bh))
