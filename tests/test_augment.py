@@ -4,6 +4,7 @@ behaviour on the padded canvas."""
 import math
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -256,3 +257,49 @@ def test_rotate_two_pass_matches_direct_bilinear_on_smooth_image():
     # blends with the border — documented deviation)
     assert diff.mean() < 0.5, diff.mean()
     assert np.percentile(diff, 99) < 2.0, np.percentile(diff, 99)
+
+
+class TestMultiFamilies:
+    """expand_multi + parameterized _aug_fn vs the reference's multi_* loops
+    (cald_train.py:131-183)."""
+
+    def test_expand_multi_reference_constants(self):
+        from cald_tpu.augment.suite import expand_multi
+
+        assert expand_multi("multi_ga") == [f"ga:{s}" for s in
+                                            (8, 16, 24, 32, 40, 48)]
+        assert expand_multi("multi_sp") == [f"sp:{p:g}" for p in
+                                            (0.05, 0.1, 0.15, 0.2, 0.25, 0.3)]
+        assert expand_multi("multi_cut_out") == [f"cut_out:{i}" for i in
+                                                 (1, 2, 3, 4)]
+        assert expand_multi("multi_resize") == [f"resize:{r:g}" for r in
+                                                (0.7, 0.8, 0.9)]
+        assert expand_multi("multi_color_adjust") == [f"color_adjust:{i}"
+                                                      for i in (2, 3, 4, 5)]
+        with pytest.raises(ValueError):
+            expand_multi("multi_nope")
+
+    def test_parameterized_aug_fns_execute(self, rng):
+        """Every expanded entry builds a runnable fn with the expected
+        parameter actually applied (spot-check via output deltas)."""
+        from cald_tpu.augment.suite import _aug_fn, expand_multi
+
+        im = jnp.asarray(rng.uniform(0, 255, (32, 40, 3)).astype(np.float32))
+        bx = jnp.asarray([[4.0, 4.0, 20.0, 20.0]])
+        bv = jnp.ones((1,), bool)
+        hw = jnp.asarray([32, 40], jnp.int32)
+        key = jax.random.key(0)
+        for fam in ("multi_ga", "multi_sp", "multi_cut_out", "multi_resize",
+                    "multi_color_adjust"):
+            for name in expand_multi(fam):
+                out_im, out_bx, out_hw = _aug_fn(name)(im, bx, bv, hw, key)
+                assert out_im.shape == im.shape
+                assert np.isfinite(np.asarray(out_im)).all(), name
+        # the parameter is live: ga:48 perturbs ~6x more than ga:8
+        d8 = float(jnp.abs(_aug_fn("ga:8")(im, bx, bv, hw, key)[0] - im).std())
+        d48 = float(jnp.abs(_aug_fn("ga:48")(im, bx, bv, hw, key)[0] - im).std())
+        assert 3.0 < d48 / max(d8, 1e-6) < 9.0
+        # resize:0.7 scales boxes by 0.7
+        _, rb, _ = _aug_fn("resize:0.7")(im, bx, bv, hw, key)
+        np.testing.assert_allclose(np.asarray(rb), np.asarray(bx) * 0.7,
+                                   rtol=1e-6)
