@@ -285,3 +285,21 @@ class TestLogging:
         out = list(ml.log_every([1, 2, 3], print_freq=1, header="H"))
         assert out == [1, 2, 3]
         assert any("[0/3]" in l for l in lines)
+
+
+class TestViz:
+    """Detection viz utilities (reference cald_helper.py:271-350 analog)."""
+
+    def test_draw_and_save(self, tmp_path, rng):
+        from cald_tpu.utils.viz import draw_detections, save_detection_image
+
+        img = rng.uniform(0, 255, (40, 60, 3)).astype(np.uint8)
+        boxes = np.array([[5, 5, 30, 30], [20, 10, 55, 35.0]])
+        out = draw_detections(img, boxes, labels=[1, 2], scores=[0.9, 0.4],
+                              class_names=("bg", "a", "b"), score_thresh=0.5)
+        assert out.size == (60, 40)
+        # the low-score box is skipped; the drawn one changed pixels
+        assert not np.array_equal(np.asarray(out), img)
+        p = tmp_path / "det.png"
+        save_detection_image(str(p), img, boxes, labels=[1, 2])
+        assert p.exists() and p.stat().st_size > 0
