@@ -8,13 +8,19 @@ The reference scores serially at batch 1 with host-side PIL augmentation and
 scipy JS (~3 img/s on one GPU is the generous estimate recorded in BASELINE.md);
 ``vs_baseline`` is measured-throughput / 3.0.
 
+Usage:
+    python bench.py                     # driver default: fast-scoring counts
+    python bench.py --rpn-post 0        # reference-faithful RPN 1000/1000
+    python bench.py --model retina
+    python bench.py -b 16 --rpn-pre 400 --rpn-post 256
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 import time
 
 import jax
@@ -25,7 +31,7 @@ REFERENCE_IMG_PER_SEC = 3.0
 
 
 def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21,
-          model_name: str = "faster"):
+          model_name: str = "faster", rpn_pre: int = 400, rpn_post: int = 256):
     from cald_tpu.models import (
         fasterrcnn_resnet50_fpn_feature, retinanet_resnet50_fpn_cal,
     )
@@ -33,12 +39,21 @@ def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21,
 
     if model_name == "retina":
         model = retinanet_resnet50_fpn_cal(num_classes)
+        if rpn_post:  # the retina fast-scoring analog trims its head counts
+            from cald_tpu.cli.config import ALConfig
+            from cald_tpu.cli.driver import _scoring_model
+
+            model = _scoring_model(
+                ALConfig(model="retina", score_rpn_pre_nms=rpn_pre,
+                         score_rpn_post_nms=rpn_post), model)
     else:
-        # the driver's default fast-scoring counts (cli/config.py
-        # score_rpn_pre_nms/score_rpn_post_nms; training/eval keep 1000/1000)
-        model = fasterrcnn_resnet50_fpn_feature(
-            num_classes=num_classes,
-            rpn_pre_nms_top_n_test=400, rpn_post_nms_top_n_test=256)
+        # defaults mirror the driver's fast-scoring counts (cli/config.py
+        # score_rpn_pre_nms/score_rpn_post_nms; training/eval keep 1000/1000);
+        # --rpn-post 0 scores with the reference-faithful model
+        kw = ({} if not rpn_post else
+              dict(rpn_pre_nms_top_n_test=rpn_pre,
+                   rpn_post_nms_top_n_test=rpn_post))
+        model = fasterrcnn_resnet50_fpn_feature(num_classes=num_classes, **kw)
     h, w = canvas_hw
     images = jnp.zeros((batch_size, h, w, 3), jnp.float32)
     valid_hw = jnp.asarray([[600, 1000]] * batch_size, jnp.int32)
@@ -47,9 +62,11 @@ def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21,
     return score_fn, variables
 
 
-def run(batch_size: int = 8, iters: int = 10, canvas_hw=(640, 1024),
-        model_name: str = "faster") -> dict:
-    score_fn, variables = build(batch_size, canvas_hw, model_name=model_name)
+def run(batch_size: int = 32, iters: int = 10, canvas_hw=(640, 1024),
+        model_name: str = "faster", rpn_pre: int = 400,
+        rpn_post: int = 256) -> dict:
+    score_fn, variables = build(batch_size, canvas_hw, model_name=model_name,
+                                rpn_pre=rpn_pre, rpn_post=rpn_post)
     h, w = canvas_hw
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 255, (batch_size, h, w, 3)), jnp.float32)
@@ -59,13 +76,20 @@ def run(batch_size: int = 8, iters: int = 10, canvas_hw=(640, 1024),
     c, corr = score_fn(variables, images, valid_hw, jax.random.key(0))
     np.asarray(c)
 
-    # NOTE: device_get per iteration, not block_until_ready at the end — the
-    # axon remote-execution backend's block_until_ready does not flush its
-    # async queue (verified empirically: a 1.66s call "completes" in ms).
+    # Pipelined timing loop: keep one batch in flight so host-side dispatch
+    # (~30 ms fixed per call on this backend) overlaps device compute — the
+    # shape of the real driver loop, where the loader prefetches while the
+    # device scores. NOTE: device_get per iteration, not block_until_ready at
+    # the end — the axon remote-execution backend's block_until_ready does not
+    # flush its async queue (verified empirically).
     t0 = time.perf_counter()
+    pending = None
     for i in range(iters):
         c, corr = score_fn(variables, images, valid_hw, jax.random.key(i + 1))
-        np.asarray(c)
+        if pending is not None:
+            np.asarray(pending)
+        pending = c
+    np.asarray(pending)
     dt = time.perf_counter() - t0
     img_per_sec = batch_size * iters / dt
     return {
@@ -77,21 +101,37 @@ def run(batch_size: int = 8, iters: int = 10, canvas_hw=(640, 1024),
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    # optional second arg: "faster" (default, the driver-recorded metric)
-    # or "retina" for the RetinaNet family
-    model_name = sys.argv[2] if len(sys.argv) > 2 else "faster"
+    p = argparse.ArgumentParser()
+    p.add_argument("batch_pos", nargs="?", type=int, default=None,
+                   help="legacy positional batch size")
+    p.add_argument("model_pos", nargs="?", default=None,
+                   help="legacy positional model name")
+    p.add_argument("-b", "--batch", type=int, default=32)
+    p.add_argument("--model", default="faster", choices=["faster", "retina"])
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--rpn-pre", type=int, default=400,
+                   help="fast-scoring RPN pre-NMS top-n (0 = faithful)")
+    p.add_argument("--rpn-post", type=int, default=256,
+                   help="fast-scoring RPN post-NMS top-n (0 = faithful 1000)")
+    args = p.parse_args()
+    batch_size = args.batch_pos if args.batch_pos is not None else args.batch
+    model_name = args.model_pos if args.model_pos is not None else args.model
     try:
-        result = run(batch_size=batch_size, model_name=model_name)
+        result = run(batch_size=batch_size, iters=args.iters,
+                     model_name=model_name, rpn_pre=args.rpn_pre,
+                     rpn_post=args.rpn_post)
     except Exception as e:  # OOM etc: retry smaller before giving up
         if batch_size > 1:
             result = run(batch_size=max(1, batch_size // 4),
-                         model_name=model_name)
+                         model_name=model_name, rpn_pre=args.rpn_pre,
+                         rpn_post=args.rpn_post)
             result["note"] = f"fallback batch after: {type(e).__name__}"
         else:
             raise
     if model_name != "faster":
         result["metric"] += f"_{model_name}"
+    if not args.rpn_post:
+        result["metric"] += "_faithful"
     print(json.dumps(result))
 
 

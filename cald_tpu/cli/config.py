@@ -62,6 +62,11 @@ class ALConfig:
     output_dir: str = ""
     first_checkpoint_path: str = ""     # --skip reuse (cald_train.py:349-356)
     skip: bool = False
+    # resume a killed AL run from a per-cycle checkpoint directory (written to
+    # output_dir/cycle_k): restores pool + model/opt + strategy carry-state and
+    # continues with cycle k's selection — bit-identical to an uninterrupted
+    # run. Capability the reference lacks (its --skip loses the split, SURVEY §5).
+    resume: str = ""
     eval_every_cycle: bool = True
     classwise: bool = False
     max_boxes: int = 64
@@ -151,6 +156,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--first-checkpoint-path", dest="first_checkpoint_path",
                    default="")
     p.add_argument("--skip", action="store_true")
+    p.add_argument("--resume", default="", metavar="CKPT_DIR",
+                   help="resume from a per-cycle checkpoint (output_dir/"
+                        "cycle_k): restores pool+model+strategy state and "
+                        "continues from that cycle's selection")
     p.add_argument("--classwise", action="store_true",
                    help="per-class AP table in COCO eval (engine.py:221-254)")
     p.add_argument("--no-eval", dest="eval_every_cycle", action="store_false")

@@ -29,7 +29,7 @@ from cald_tpu.data import (
 from cald_tpu.data.transforms import random_horizontal_flip
 from cald_tpu.engine import (
     create_train_state, evaluate, load_checkpoint, make_sgd, make_train_step,
-    multistep_with_warmup, save_checkpoint, train_one_epoch,
+    multistep_with_warmup, peek_checkpoint, save_checkpoint, train_one_epoch,
 )
 from cald_tpu.engine.evaluate import run_inference
 from cald_tpu.engine.optim import RESNET_FROZEN_L3
@@ -268,22 +268,35 @@ def _detect_host_fn(cfg: ALConfig, model, variables, canvases):
 
 
 def _scoring_model(cfg: ALConfig, model):
-    """Fast-scoring variant for the pool pass: smaller RPN candidate counts
+    """Fast-scoring variant for the pool pass: smaller candidate counts
     (capped at the model's own, so tiny/test configs are unchanged). Training
     and eval always use the reference-faithful model; set
-    --score-rpn-{pre,post}-nms 0 to score with it too. PERF.md round 2."""
-    if (not cfg.score_rpn_post_nms
-            or not hasattr(model.cfg, "rpn_post_nms_top_n_test")):
+    --score-rpn-{pre,post}-nms 0 to score with it too. PERF.md round 2.
+
+    FRCNN: trims the RPN pre/post-NMS top-n. RetinaNet analog: trims the
+    per-level ``topk_candidates`` (reference 1000, retinanet_cal.py:331) to
+    the --score-rpn-post-nms count — the same "fewer candidates through the
+    identical postprocess" trade. The selection-fidelity cost of both trims is
+    measured in EXPERIMENTS.md (fast-scoring deviation study)."""
+    if not cfg.score_rpn_post_nms:
         return model
     import dataclasses as _dc
 
-    pre = min(cfg.score_rpn_pre_nms or 10 ** 9, model.cfg.rpn_pre_nms_top_n_test)
-    post = min(cfg.score_rpn_post_nms, model.cfg.rpn_post_nms_top_n_test)
-    if (pre, post) == (model.cfg.rpn_pre_nms_top_n_test,
-                       model.cfg.rpn_post_nms_top_n_test):
-        return model
-    return type(model)(_dc.replace(model.cfg, rpn_pre_nms_top_n_test=pre,
-                                   rpn_post_nms_top_n_test=post))
+    if hasattr(model.cfg, "rpn_post_nms_top_n_test"):
+        pre = min(cfg.score_rpn_pre_nms or 10 ** 9,
+                  model.cfg.rpn_pre_nms_top_n_test)
+        post = min(cfg.score_rpn_post_nms, model.cfg.rpn_post_nms_top_n_test)
+        if (pre, post) == (model.cfg.rpn_pre_nms_top_n_test,
+                           model.cfg.rpn_post_nms_top_n_test):
+            return model
+        return type(model)(_dc.replace(model.cfg, rpn_pre_nms_top_n_test=pre,
+                                       rpn_post_nms_top_n_test=post))
+    if hasattr(model.cfg, "topk_candidates"):
+        topk = min(cfg.score_rpn_post_nms, model.cfg.topk_candidates)
+        if topk == model.cfg.topk_candidates:
+            return model
+        return type(model)(_dc.replace(model.cfg, topk_candidates=topk))
+    return model
 
 
 def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
@@ -472,20 +485,54 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
         strategy_state["lossnet"] = LossNet(num_levels=4)
     history = []
 
+    resume_cycle = -1
+    if cfg.resume:
+        r_pool, _, r_meta = peek_checkpoint(cfg.resume)
+        if r_pool is None:
+            raise ValueError(f"--resume checkpoint {cfg.resume!r} carries no "
+                             "pool state (only per-cycle driver checkpoints "
+                             "are resumable)")
+        pool = r_pool
+        resume_cycle = int(np.asarray(r_meta["cycle"]))
+        if "ssm_gamma" in r_meta:
+            strategy_state["gamma"] = float(np.asarray(r_meta["ssm_gamma"]))
+            strategy_state["clslambda"] = np.asarray(r_meta["ssm_clslambda"])
+        print(f"--resume: restored pool (labeled {len(pool.labeled)}) at "
+              f"cycle {resume_cycle}")
+
     for cycle in range(cfg.cycles):
+        if cycle < resume_cycle:
+            history.append({"cycle": cycle, "resumed": True})
+            continue
         t0 = time.time()
         print(f"=== cycle {cycle}: labeled {len(pool.labeled)}, "
               f"unlabeled {len(pool.unlabeled)} ===")
         first_ckpt = (os.path.join(cfg.first_checkpoint_path,
                                    f"{cfg.dataset}_{cfg.model}_1st")
                       if cfg.first_checkpoint_path else "")
-        if cfg.skip and cycle == 0 and first_ckpt and os.path.isdir(first_ckpt):
+        # resume restores the trained model and jumps straight to this cycle's
+        # selection; ll4al/vaal carry adversary/LossNet state that is NOT in
+        # the cycle checkpoint, so those strategies retrain the cycle instead
+        # (deterministic training on the restored pool -> identical history)
+        resuming_here = (cycle == resume_cycle
+                         and cfg.strategy not in ("ll4al", "vaal"))
+        if resuming_here:
+            print(f"--resume: loading cycle checkpoint {cfg.resume}")
+            state = _fresh_state(cfg, model, frozen_prefixes, train_ds, pool,
+                                 canvases, group_ids, cycle=cycle)
+            state, _, _, _ = load_checkpoint(cfg.resume, state)
+        elif cfg.skip and cycle == 0 and first_ckpt and os.path.isdir(first_ckpt):
             # reuse the saved first-cycle model instead of retraining
             # (reference --skip, cald_train.py:349-356)
             print(f"--skip: loading first-cycle checkpoint {first_ckpt}")
             state = _fresh_state(cfg, model, frozen_prefixes, train_ds, pool,
                                  canvases, group_ids, cycle=0)
-            state, _, _, _ = load_checkpoint(first_ckpt, state)
+            state, skip_pool, _, _ = load_checkpoint(first_ckpt, state)
+            if skip_pool is not None:
+                # the checkpoint knows the split it was trained on; keep it
+                # (a fresh split from a different --seed would silently
+                # mismatch the weights — the round-2 VERDICT's --skip bug)
+                pool = skip_pool
         elif cfg.strategy == "ll4al":
             state, strategy_state["ll_state"] = _train_cycle_ll4al(
                 cfg, model, frozen_prefixes, strategy_state["lossnet"],
@@ -507,8 +554,9 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
                 and not (cfg.skip and os.path.isdir(first_ckpt))
                 and jax.process_index() == 0):
             # save the first-cycle model for later --skip runs
-            # (reference cald_train.py:418-426)
-            save_checkpoint(first_ckpt, state, meta={"cycle": 0})
+            # (reference cald_train.py:418-426); the pool rides along so a
+            # --skip run restores the exact split these weights saw
+            save_checkpoint(first_ckpt, state, pool=pool, meta={"cycle": 0})
         if cfg.strategy == "vaal" and "vaal" not in strategy_state:
             # --skip path loaded the task model without the interleaved
             # adversarial training; run the VAE+D epochs standalone
@@ -522,7 +570,9 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
             strategy_state["vaal"] = trainer
 
         stats = {}
-        if cfg.eval_every_cycle:
+        if resuming_here:
+            stats = {"resumed": True}   # eval already ran before the save
+        elif cfg.eval_every_cycle:
             test_indices = range(len(test_ds))
             if jax.process_count() > 1:
                 from cald_tpu.parallel import process_shard
@@ -534,18 +584,27 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
             stats = evaluate(model, state.variables, test_loader, test_ds,
                              kind=cfg.eval_kind, classwise=cfg.classwise)
 
-        if cfg.output_dir and jax.process_index() == 0:
+        if cfg.output_dir and jax.process_index() == 0 and not resuming_here:
+            meta: dict = {"cycle": cycle}
+            if "gamma" in strategy_state:   # SSM's adapted carry-state
+                meta["ssm_gamma"] = strategy_state["gamma"]
+                meta["ssm_clslambda"] = strategy_state["clslambda"]
             save_checkpoint(os.path.join(cfg.output_dir, f"cycle_{cycle}"),
                             state, pool=pool, rng=jax.random.key(cfg.seed),
-                            meta={"cycle": cycle})
+                            meta=meta)
 
         if cycle < cfg.cycles - 1:
             chosen = score_and_select(cfg, model, state, train_ds, pool,
                                       canvases, group_ids, cycle=cycle,
                                       strategy_state=strategy_state)
             pool = pool.select(np.asarray(chosen))
+        import hashlib
+
+        digest = hashlib.sha1(
+            np.sort(np.asarray(pool.labeled)).tobytes()).hexdigest()[:12]
         history.append({"cycle": cycle, "labeled": int(len(pool.labeled)),
-                        "eval": stats, "time_s": time.time() - t0})
+                        "labeled_digest": digest, "eval": stats,
+                        "time_s": time.time() - t0})
     return history
 
 

@@ -40,6 +40,20 @@ def save_checkpoint(path: str, state: TrainState, *, pool: ALPoolState | None = 
         ckptr.save(path, payload, force=True)
 
 
+def peek_checkpoint(path: str):
+    """Restore only the AL bookkeeping — (pool | None, rng | None, meta dict) —
+    without needing a model/optimizer template. The driver's ``--resume`` uses
+    this first (the restored pool determines the cycle's loader sizes and hence
+    the optimizer-schedule template that ``load_checkpoint`` then fills)."""
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(path)
+    pool = ALPoolState.from_dict(raw["pool"]) if "pool" in raw else None
+    rng = (jax.random.wrap_key_data(np.asarray(raw["rng"]))
+           if "rng" in raw else None)
+    return pool, rng, raw.get("meta", {})
+
+
 def load_checkpoint(path: str, state: TrainState):
     """Restore into the given (template) TrainState.
 

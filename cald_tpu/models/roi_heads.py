@@ -188,10 +188,22 @@ def ssm_postprocess_detections(class_logits: jnp.ndarray,
       * the ``score > score_thresh`` filter applied AFTER NMS.
     Full softmax rows ride along as ``scores_cls`` for judge_y/judge_uv.
 
-    ``out_slots`` is the fixed-shape envelope for the union over classes:
-    survivors are globally score-sorted, so in the (rare) overflow case the
-    lowest-scoring survivors are dropped first — the reference has no such cap
-    but also no fixed shapes.
+    Output-equivalent optimization: candidates with score <= score_thresh ARE
+    masked before NMS even though the reference has no pre-filter. Greedy NMS
+    suppression only flows from higher- to lower-scored boxes, so removing a
+    sub-threshold candidate can never change which above-threshold boxes
+    survive; sub-threshold survivors are removed by the post-filter anyway and
+    (being score-sorted below every above-threshold same-class survivor)
+    never displace one from a ``detections_per_class`` rank slot. The
+    post-filtered output is therefore bit-identical to NMS-ing everything
+    (pinned by TestSSMPostprocess against the no-pre-filter transcription).
+
+    ``out_slots`` / ``nms_pre_size`` are the fixed-shape envelopes for the
+    cross-class union and the NMS input (top-scoring-first in both): with the
+    equivalence mask above, truncation can only drop above-threshold
+    candidates once an image carries >nms_pre_size of them (>4096 softmax
+    entries over 0.05 — more than 4 per proposal on average at the full 1000
+    proposals), where the reference, with no fixed shapes, would NMS them all.
     """
     n, c = class_logits.shape
     scores = jax.nn.softmax(class_logits, axis=-1)
@@ -205,7 +217,9 @@ def ssm_postprocess_detections(class_logits: jnp.ndarray,
     fg_boxes = boxes[:, 1:, :].reshape(-1, 4)
     fg_labels = jnp.tile(jnp.arange(1, c, dtype=jnp.int32)[None], (n, 1)).reshape(-1)
     prop_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), c - 1)
-    cand = jnp.repeat(prop_valid, c - 1)
+    # the score mask is output-equivalent (docstring) and keeps the
+    # nms_pre_size envelope spent on candidates that can actually surface
+    cand = jnp.repeat(prop_valid, c - 1) & (fg_scores > score_thresh)
 
     keep_idx, keep_valid = batched_nms(
         fg_boxes, fg_scores, fg_labels, iou_threshold=nms_thresh,
@@ -244,19 +258,24 @@ def pool_box_features(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
     training (3.7x faster than XLA gathers forward, PERF.md; identical samples
     for rois within the window envelope; backward is the custom_vjp
     scatter-windows kernel, gradient-parity-tested against the pointwise
-    path). CPU uses the exact, differentiable pointwise path. Opt out with
-    CALD_TPU_NO_PALLAS_ROI=1.
+    path). ``inference`` selects the window envelope: the scoring path uses
+    the measured-faster 44x48 window (aspect tail clamps, score-parity
+    verified), training the 48x56 one so elongated-roi GRADIENTS stay exact
+    (ADVICE r2). CPU uses the exact, differentiable pointwise path. Opt out
+    with CALD_TPU_NO_PALLAS_ROI=1.
     """
     import os
 
-    del inference  # kept for call-site compatibility; both paths differentiate
     if (jax.default_backend() in ("tpu", "axon")
             and feats[0].shape[-1] % 128 == 0   # Mosaic lane-aligned reshape
             and os.environ.get("CALD_TPU_NO_PALLAS_ROI") != "1"):
-        from cald_tpu.ops.pallas_roi_align import pallas_multi_scale_roi_align
+        from cald_tpu.ops.pallas_roi_align import (
+            WIN_INFER, WIN_TRAIN, pallas_multi_scale_roi_align,
+        )
 
         return pallas_multi_scale_roi_align(
             list(feats), rois, spatial_scales=list(spatial_scales),
-            output_size=output_size, sampling_ratio=sampling_ratio)
+            output_size=output_size, sampling_ratio=sampling_ratio,
+            window=WIN_INFER if inference else WIN_TRAIN)
     return multi_scale_roi_align(list(feats), rois, spatial_scales=list(spatial_scales),
                                  output_size=output_size, sampling_ratio=sampling_ratio)

@@ -58,7 +58,7 @@ def _pick_tiles(h: int, w: int, c: int, p: int, itemsize: int = 2):
 
 def _block_kernel(src, dst_in, w1, b1, w2, b2, w3, b3, out, xt2, ot2,
                   rsem, wsem, *, th: int, tw: int, c: int, p: int, nh: int,
-                  nw: int):
+                  nw: int, h: int, w: int):
     del dst_in
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -103,6 +103,16 @@ def _block_kernel(src, dst_in, w1, b1, w2, b2, w3, b3, out, xt2, ot2,
         preferred_element_type=jnp.float32, precision=prec)
     y1 = jnp.maximum(y1 + b1[:], 0.0).astype(x.dtype)
     y1 = y1.reshape(th + 2, tw + 16, p)
+    # Zero-'SAME' semantics: halo positions OUTSIDE the image must contribute
+    # 0 to the 3x3 taps, but the zero ring in src yields relu(b1) there after
+    # the biased 1x1. Mask them back to zero (in-image padded rows are 1..h,
+    # cols 8..w+7; the tile spans padded rows r0..r0+th+1, cols c0..c0+tw+15).
+    # (3-D int32 iotas: Mosaic can't minor-dim-broadcast an i1 mask)
+    _, r0, c0 = coords(k)
+    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (th + 2, tw + 16, p), 0)
+    cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (th + 2, tw + 16, p), 1)
+    inimg = (rows >= 1) & (rows <= h) & (cols >= 8) & (cols <= w + 7)
+    y1 = jnp.where(inimg, y1, jnp.zeros_like(y1))
 
     # 3x3 conv as 9 shifted matmuls. (A tap-concat im2col through a scratch
     # ref was measured too: the VMEM materialization cost more than the
@@ -146,7 +156,8 @@ def _fused_block(src, dst, w1, b1, w2, b2, w3, b3, *, th: int, tw: int):
     grid = (bsz, nh, nw)
     full = lambda a: pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim)
     return pl.pallas_call(
-        functools.partial(_block_kernel, th=th, tw=tw, c=c, p=p, nh=nh, nw=nw),
+        functools.partial(_block_kernel, th=th, tw=tw, c=c, p=p, nh=nh, nw=nw,
+                          h=hp - 2, w=wp - 16),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),

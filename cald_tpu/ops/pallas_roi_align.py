@@ -2,15 +2,16 @@
 
 XLA's gather tops out at ~35M small descriptors/s on v5e, putting the pointwise
 RoIAlign at ~11 ms per image x 1000 rois (PERF.md). Here each roi issues ONE
-strided rectangular DMA — the (WIN_H, SPAN) feature window at its assigned
+strided rectangular DMA — the (win_h, span) feature window at its assigned
 level — into VMEM, and the bilinear sampling + 2x2 mean-pool collapse into two
 small interpolation matmuls (weights built outside the kernel).
 
 Exactness: identical to method='points' whenever the roi spans at most
-WIN_H-2 rows and SPAN-2 columns at its assigned FPN level. The level mapper
-keeps sqrt(area)/stride in [14, 28), so 40x40 windows cover aspect ratios to
-~4 in either direction; more extreme rois clamp their outermost samples to the
-window edge (sub-pixel error on a rare tail).
+win_h-2 rows and span-2 columns at its assigned FPN level. The level mapper
+keeps sqrt(area)/stride in [14, 28); see the WIN_INFER/WIN_TRAIN envelope
+comment below for the aspect-ratio coverage of each window choice; more
+extreme rois clamp their outermost samples to the window edge (sub-pixel
+error on a rare tail).
 
 Weights/indices are computed with plain jnp (cheap, fused by XLA); the kernel
 only moves the window and runs the two contractions.
@@ -42,11 +43,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cald_tpu.ops.roi_align import fpn_level_assignment
 
-WIN_H = 44     # covers sqrt(area)/stride < 28 at aspect ratio <= ~2.2 exactly
-SPAN = 48      # multiple of the HBM W-tile (8); window starts are tile-aligned
-# (was 48x56 = aspect ~2.9/~4 envelope; shrunk after measuring the window DMA
-# as the RoI stage's dominant cost — 48x56x256xbf16 = 1.3 MB/roi. Wider rois
-# clamp their outermost samples, same as before, just at a tighter tail.)
+# Window envelopes (rows x cols; cols are a multiple of the HBM W-tile (8)
+# and window starts are tile-aligned):
+#  * inference/scoring: 44x48 — covers sqrt(area)/stride < 28 at aspect ratio
+#    <= ~2.2 (rows) / ~2.7 (cols) exactly; shrunk after measuring the window
+#    DMA as the RoI stage's dominant cost (48x56x256xbf16 = 1.3 MB/roi).
+#    Wider rois clamp their outermost samples (score-parity tail, measured).
+#  * training: 48x56 — aspect ~2.9 (rows) / ~4 (cols) envelope, so gradients
+#    of elongated regressed boxes (anchors reach AR 2.0 and regression
+#    overshoots) stay exact (ADVICE r2: don't let the scoring-path shrink
+#    silently change training numerics).
+WIN_INFER = (44, 48)
+WIN_TRAIN = (48, 56)
 
 
 def _axis_weights(pos, base0, n_valid, inside, window, out_size, sr, dtype):
@@ -74,7 +82,8 @@ def _axis_weights(pos, base0, n_valid, inside, window, out_size, sr, dtype):
     return w.reshape(r, out_size, sr, window).mean(axis=2).astype(dtype)
 
 
-def _roi_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int):
+def _roi_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int,
+                win_h: int, span: int):
     fs = refs[:num_levels]
     wy_ref, wx_ref, out_ref, win, sem = refs[num_levels:]
     i = pl.program_id(0)
@@ -85,27 +94,28 @@ def _roi_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int):
         @pl.when(lvl == l)
         def _(l=l):
             cp = pltpu.make_async_copy(
-                fs[l].at[pl.ds(y0, WIN_H), pl.ds(x0, SPAN), :], win, sem)
+                fs[l].at[pl.ds(y0, win_h), pl.ds(x0, span), :], win, sem)
             cp.start()
             cp.wait()
 
-    w = win[:].astype(jnp.float32)                 # (WIN_H, SPAN, C)
-    wy = wy_ref[0].astype(jnp.float32)             # (7, WIN_H)
-    wx = wx_ref[0].astype(jnp.float32)             # (7, SPAN)
-    t = jax.lax.dot_general(wy, w.reshape(WIN_H, SPAN * c),
+    w = win[:].astype(jnp.float32)                 # (win_h, span, C)
+    wy = wy_ref[0].astype(jnp.float32)             # (7, win_h)
+    wx = wx_ref[0].astype(jnp.float32)             # (7, span)
+    t = jax.lax.dot_general(wy, w.reshape(win_h, span * c),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
-    t = t.reshape(wy.shape[0], SPAN, c)
-    # contract SPAN: out[y, x, c] = sum_w wx[x, w] t[y, w, c]
-    out = jax.lax.dot_general(wx, t.transpose(1, 0, 2).reshape(SPAN, -1),
+    t = t.reshape(wy.shape[0], span, c)
+    # contract span: out[y, x, c] = sum_w wx[x, w] t[y, w, c]
+    out = jax.lax.dot_general(wx, t.transpose(1, 0, 2).reshape(span, -1),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)
     out_ref[0] = out.reshape(wx.shape[0], wy.shape[0], c).transpose(1, 0, 2)
 
 
-def _plan(feats, rois, spatial_scales, output_size: int, sampling_ratio: int):
+def _plan(feats, rois, spatial_scales, output_size: int, sampling_ratio: int,
+          win_h: int, span: int):
     """Shared fwd/bwd prolog: level assignment, zero-padded levels, aligned
     window starts, pooled interpolation weights."""
     import math
@@ -120,9 +130,9 @@ def _plan(feats, rois, spatial_scales, output_size: int, sampling_ratio: int):
     ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
     # coarse levels can be smaller than the DMA window: zero-pad them (the
     # interpolation weights are already masked to the true valid extent)
-    padded = [jnp.pad(f, ((0, max(0, WIN_H - f.shape[0])),
-                          (0, max(0, SPAN - f.shape[1])), (0, 0)))
-              if f.shape[0] < WIN_H or f.shape[1] < SPAN else f for f in feats]
+    padded = [jnp.pad(f, ((0, max(0, win_h - f.shape[0])),
+                          (0, max(0, span - f.shape[1])), (0, 0)))
+              if f.shape[0] < win_h or f.shape[1] < span else f for f in feats]
     hs_pad = jnp.asarray([f.shape[0] for f in padded], jnp.float32)
     ws_pad = jnp.asarray([f.shape[1] for f in padded], jnp.float32)
     scales = jnp.asarray(list(spatial_scales), jnp.float32)
@@ -146,42 +156,45 @@ def _plan(feats, rois, spatial_scales, output_size: int, sampling_ratio: int):
     # then clamps inside the level array, and the weight clamp keeps sampling
     # within the valid extent)
     yw0 = jnp.clip(jnp.floor(y[:, 0]), 0,
-                   jnp.maximum(hs_pad[levels] - WIN_H, 0)).astype(jnp.int32)
+                   jnp.maximum(hs_pad[levels] - win_h, 0)).astype(jnp.int32)
     xw0 = jnp.clip(jnp.floor(x[:, 0]), 0,
-                   jnp.maximum(ws_pad[levels] - SPAN, 0)).astype(jnp.int32)
+                   jnp.maximum(ws_pad[levels] - span, 0)).astype(jnp.int32)
     # Mosaic can only slice HBM memrefs at W-tile (8) boundaries
     xw0 = (xw0 // 8) * 8
 
-    wy = _axis_weights(y, yw0, h_l, in_y, WIN_H, output_size, sampling_ratio,
+    wy = _axis_weights(y, yw0, h_l, in_y, win_h, output_size, sampling_ratio,
                        jnp.float32)
-    wx = _axis_weights(x, xw0, w_l, in_x, SPAN, output_size, sampling_ratio,
+    wx = _axis_weights(x, xw0, w_l, in_x, span, output_size, sampling_ratio,
                        jnp.float32)
     return padded, levels.astype(jnp.int32), yw0, xw0, wy, wx
 
 
-def _fwd_call(padded, levels, yw0, xw0, wy, wx, *, output_size: int):
+def _fwd_call(padded, levels, yw0, xw0, wy, wx, *, output_size: int,
+              win_h: int, span: int):
     c = padded[0].shape[-1]
     r = levels.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(r,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in padded]
-        + [pl.BlockSpec((1, output_size, WIN_H), lambda i, *_: (i, 0, 0)),
-           pl.BlockSpec((1, output_size, SPAN), lambda i, *_: (i, 0, 0))],
+        + [pl.BlockSpec((1, output_size, win_h), lambda i, *_: (i, 0, 0)),
+           pl.BlockSpec((1, output_size, span), lambda i, *_: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, output_size, output_size, c),
                                lambda i, *_: (i, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((WIN_H, SPAN, c), padded[0].dtype),
+        scratch_shapes=[pltpu.VMEM((win_h, span, c), padded[0].dtype),
                         pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
-        functools.partial(_roi_kernel, num_levels=len(padded), c=c),
+        functools.partial(_roi_kernel, num_levels=len(padded), c=c,
+                          win_h=win_h, span=span),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, output_size, output_size, c),
                                        jnp.float32),
     )(levels, yw0, xw0, *padded, wy, wx)
 
 
-def _roi_bwd_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int):
+def _roi_bwd_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int,
+                    win_h: int, span: int):
     """Transpose of _roi_kernel: gwin = wy^T @ gout @ wx, accumulated into the
     aliased zero-initialized gradient buffers with a read-add-write window DMA
     pair. Grid steps are sequential on the TPU core, so overlapping windows
@@ -195,25 +208,25 @@ def _roi_bwd_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int):
     x0 = pl.multiple_of(x0_ref[i], 8)
 
     g = g_ref[0].astype(jnp.float32)               # (7, 7, c)
-    wy = wy_ref[0].astype(jnp.float32)             # (7, WIN_H)
-    wx = wx_ref[0].astype(jnp.float32)             # (7, SPAN)
+    wy = wy_ref[0].astype(jnp.float32)             # (7, win_h)
+    wx = wx_ref[0].astype(jnp.float32)             # (7, span)
     o = wy.shape[0]
     # t[h, (x c)] = sum_y wy[y, h] g[y, x, c]
     t = jax.lax.dot_general(wy, g.reshape(o, o * c), (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
-    t = t.reshape(WIN_H, o, c)
+    t = t.reshape(win_h, o, c)
     # gwin[w, (h c)] = sum_x wx[x, w] t[h, x, c]
     gw = jax.lax.dot_general(wx, t.transpose(1, 0, 2).reshape(o, -1),
                              (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
-    gw = gw.reshape(SPAN, WIN_H, c).transpose(1, 0, 2)   # (WIN_H, SPAN, c)
+    gw = gw.reshape(span, win_h, c).transpose(1, 0, 2)   # (win_h, span, c)
 
     for l in range(num_levels):
         @pl.when(lvl == l)
         def _(l=l):
-            window = outs[l].at[pl.ds(y0, WIN_H), pl.ds(x0, SPAN), :]
+            window = outs[l].at[pl.ds(y0, win_h), pl.ds(x0, span), :]
             rd = pltpu.make_async_copy(window, win, sem)
             rd.start()
             rd.wait()
@@ -224,7 +237,7 @@ def _roi_bwd_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int):
 
 
 def _bwd_call(g, padded_shapes, levels, yw0, xw0, wy, wx, *,
-              output_size: int):
+              output_size: int, win_h: int, span: int):
     """Gradient wrt the PADDED per-level features, f32."""
     c = padded_shapes[0][-1]
     r = levels.shape[0]
@@ -236,17 +249,18 @@ def _bwd_call(g, padded_shapes, levels, yw0, xw0, wy, wx, *,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in padded_shapes]
         + [pl.BlockSpec((1, output_size, output_size, c),
                         lambda i, *_: (i, 0, 0, 0)),
-           pl.BlockSpec((1, output_size, WIN_H), lambda i, *_: (i, 0, 0)),
-           pl.BlockSpec((1, output_size, SPAN), lambda i, *_: (i, 0, 0))],
+           pl.BlockSpec((1, output_size, win_h), lambda i, *_: (i, 0, 0)),
+           pl.BlockSpec((1, output_size, span), lambda i, *_: (i, 0, 0))],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)
                    for _ in padded_shapes],
-        scratch_shapes=[pltpu.VMEM((WIN_H, SPAN, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((win_h, span, c), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
     # alias the zero buffers (inputs 3..3+L-1 counting scalar prefetch) to the
     # outputs: each grid step read-modify-writes its roi's window
     return pl.pallas_call(
-        functools.partial(_roi_bwd_kernel, num_levels=num_levels, c=c),
+        functools.partial(_roi_bwd_kernel, num_levels=num_levels, c=c,
+                          win_h=win_h, span=span),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(s, jnp.float32)
                    for s in padded_shapes],
@@ -254,32 +268,34 @@ def _bwd_call(g, padded_shapes, levels, yw0, xw0, wy, wx, *,
     )(levels, yw0, xw0, *zeros, g, wy, wx)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _roi_align_cv(feats, rois, spatial_scales, output_size, sampling_ratio,
-                  meta):
+                  window, meta):
     del meta
     padded, levels, yw0, xw0, wy, wx = _plan(
-        feats, rois, spatial_scales, output_size, sampling_ratio)
+        feats, rois, spatial_scales, output_size, sampling_ratio, *window)
     return _fwd_call(padded, levels, yw0, xw0, wy, wx,
-                     output_size=output_size)
+                     output_size=output_size, win_h=window[0], span=window[1])
 
 
 def _roi_align_cv_fwd(feats, rois, spatial_scales, output_size, sampling_ratio,
-                      meta):
+                      window, meta):
     del meta
     padded, levels, yw0, xw0, wy, wx = _plan(
-        feats, rois, spatial_scales, output_size, sampling_ratio)
-    out = _fwd_call(padded, levels, yw0, xw0, wy, wx, output_size=output_size)
+        feats, rois, spatial_scales, output_size, sampling_ratio, *window)
+    out = _fwd_call(padded, levels, yw0, xw0, wy, wx, output_size=output_size,
+                    win_h=window[0], span=window[1])
     return out, (levels, yw0, xw0, wy, wx)
 
 
-def _roi_align_cv_bwd(spatial_scales, output_size, sampling_ratio, meta,
-                      res, g):
+def _roi_align_cv_bwd(spatial_scales, output_size, sampling_ratio, window,
+                      meta, res, g):
     levels, yw0, xw0, wy, wx = res
+    win_h, span = window
     pad_shapes = tuple(
-        (max(h, WIN_H), max(w, SPAN), c) for (h, w, c), _ in meta)
+        (max(h, win_h), max(w, span), c) for (h, w, c), _ in meta)
     gpad = _bwd_call(g.astype(jnp.float32), pad_shapes, levels, yw0, xw0,
-                     wy, wx, output_size=output_size)
+                     wy, wx, output_size=output_size, win_h=win_h, span=span)
     dfeats = tuple(
         gp[: s[0], : s[1], :].astype(dt)
         for gp, (s, dt) in zip(gpad, meta))
@@ -290,10 +306,13 @@ _roi_align_cv.defvjp(_roi_align_cv_fwd, _roi_align_cv_bwd)
 
 
 def pallas_multi_scale_roi_align(feats, rois, *, spatial_scales,
-                                 output_size: int = 7, sampling_ratio: int = 2):
+                                 output_size: int = 7, sampling_ratio: int = 2,
+                                 window: tuple = WIN_INFER):
     """feats: list of (H_l, W_l, C); rois (R, 4). Returns (R, 7, 7, C) f32.
     Differentiable wrt feats (custom_vjp scatter-windows kernel); rois get
-    zero cotangents (they are stop_gradient'ed upstream anyway)."""
+    zero cotangents (they are stop_gradient'ed upstream anyway).
+    ``window``: the (rows, cols) DMA envelope — WIN_INFER (44, 48) for the
+    scoring path, WIN_TRAIN (48, 56) on the training path (header comment)."""
     meta = tuple((tuple(f.shape), jnp.dtype(f.dtype).name) for f in feats)
     return _roi_align_cv(tuple(feats), rois, tuple(spatial_scales),
-                         output_size, sampling_ratio, meta)
+                         output_size, sampling_ratio, tuple(window), meta)

@@ -59,6 +59,34 @@ def test_fused_stage_matches_xla_chain(rng, h, w, c, p, n):
 
 
 @tpu_only
+def test_border_zero_same_semantics_with_positive_bias(rng):
+    """Regression for the halo-bias bug (ADVICE r2): with a large positive b1
+    the biased 1x1 turns the zero ring into relu(b1); the kernel must mask
+    those out-of-image halo positions back to zero before the 3x3 taps, or
+    every border pixel inherits a spurious bias contribution. Tolerance here
+    is bf16-roundoff-class — far below the bug's O(b1·|w2|) border error."""
+    from cald_tpu.ops.pallas_bottleneck import maybe_fused_stage
+
+    c, p = 256, 64
+    mk = lambda *s: jnp.asarray(rng.normal(0, 0.08, s).astype(np.float32))
+    blk = (mk(c, p), jnp.full((p,), 1.0), mk(3, 3, p, p), mk(p), mk(p, c),
+           mk(c))
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 32, c)).astype(np.float32))
+    ref = np.asarray(_xla_block(x, *blk), np.float32)
+    got = jax.jit(lambda x: maybe_fused_stage(x.astype(jnp.bfloat16),
+                                              [blk]))(x)
+    assert got is not None
+    g = np.asarray(got, np.float32)
+    scale = np.abs(ref).mean() + 1e-6
+    border = np.concatenate([(ref[:, 0] - g[:, 0]).ravel(),
+                             (ref[:, -1] - g[:, -1]).ravel(),
+                             (ref[:, :, 0] - g[:, :, 0]).ravel(),
+                             (ref[:, :, -1] - g[:, :, -1]).ravel()])
+    assert np.abs(border).mean() / scale < 0.02
+    assert np.abs(border).max() / scale < 0.15
+
+
+@tpu_only
 def test_backbone_fused_gate_optin(rng, monkeypatch):
     """Default OFF; CALD_TPU_PALLAS_BNECK=1 engages and matches the XLA path
     within bf16 tolerance on the full backbone."""
