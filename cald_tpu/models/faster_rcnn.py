@@ -114,6 +114,13 @@ def _dtype(name: str):
     return None if name == "float32" else jnp.dtype(name)
 
 
+def _valid_mask(h: int, w: int, valid_hw: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(B, H, W, 1) indicator of the valid (non-padding) canvas region."""
+    rows = jnp.arange(h)[None, :] < valid_hw[:, 0:1]          # (B, H)
+    cols = jnp.arange(w)[None, :] < valid_hw[:, 1:2]          # (B, W)
+    return (rows[:, :, None] & cols[:, None, :]).astype(dtype)[..., None]
+
+
 class FasterRCNN(nn.Module):
     cfg: FasterRCNNConfig
 
@@ -128,12 +135,19 @@ class FasterRCNN(nn.Module):
         self.box_head = TwoMLPHead(cfg.representation_size, dtype=dt)
         self.box_predictor = FastRCNNPredictor(cfg.num_classes, dtype=dt)
 
-    def _features(self, images: jnp.ndarray, *,
+    def _features(self, images: jnp.ndarray, valid_hw=None, *,
                   allow_fused: bool = False) -> list[jnp.ndarray]:
         x = (images / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         dt = _dtype(self.cfg.compute_dtype)
         if dt is not None:
             x = x.astype(dt)
+        if valid_hw is not None:
+            # Zero the canvas padding in NORMALIZED space: the reference
+            # normalizes each image first and zero-pads the batch after
+            # (GeneralizedRCNNTransform, frcnn_la.py:230-234 + batch_images),
+            # so padded pixels contribute 0 to convs there. Raw-zero padding
+            # would instead contribute -mean/std.
+            x = x * _valid_mask(images.shape[1], images.shape[2], valid_hw, x.dtype)
         # allow_fused: inference-only Pallas bottleneck stages (no vjp); the
         # training loss path and extract_features stay on the exact XLA path
         from cald_tpu.models.resnet import ResNetBackbone
@@ -144,10 +158,11 @@ class FasterRCNN(nn.Module):
             feats = self.backbone(x)
         return self.fpn([feats[k] for k in self._feat_keys])
 
-    def extract_features(self, images: jnp.ndarray) -> list[jnp.ndarray]:
+    def extract_features(self, images: jnp.ndarray,
+                         valid_hw=None) -> list[jnp.ndarray]:
         """FPN pyramid only (the reference forward returns ``features`` in every
         result dict, frcnn_la.py:126-142; used by LossNet scoring)."""
-        return self._features(images)
+        return self._features(images, valid_hw)
 
     def _anchors(self, pyramid: Sequence[jnp.ndarray]):
         cfg = self.cfg
@@ -181,7 +196,7 @@ class FasterRCNN(nn.Module):
         the RoI-pooled pyramid features for LossNet consumers.
         """
         cfg = self.cfg
-        pyramid = self._features(images)
+        pyramid = self._features(images, valid_hw)
         objectness, deltas, anchors, props, _, pvalid = self._proposals(
             pyramid, valid_hw, train=True)
 
@@ -239,7 +254,7 @@ class FasterRCNN(nn.Module):
         """Inference: fixed-slot detections in resized-image coordinates, with
         CALD extras. Rescale to original coords with Detections.rescale."""
         cfg = self.cfg
-        pyramid = self._features(images, allow_fused=True)
+        pyramid = self._features(images, valid_hw, allow_fused=True)
         _, _, _, props, _, pvalid = self._proposals(pyramid, valid_hw, train=False)
 
         b, n = props.shape[:2]

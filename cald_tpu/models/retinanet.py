@@ -157,9 +157,19 @@ def retinanet_postprocess(cls_logits, bbox_reg, anchors, level_counts,
                           detections_per_img: int, topk_candidates: int,
                           min_size: float = 1e-2) -> Detections:
     """Single image. Candidates = per-level top-k (anchor, class) pairs above
-    the score threshold -> class-aware NMS -> global top detections."""
+    the score threshold -> class-aware NMS -> global top detections.
+
+    Anchors centered on canvas padding (outside ``valid_hw``) are excluded
+    from candidacy — see rpn.select_proposals (PARITY.md: canvas-independence).
+    """
     num_classes = cls_logits.shape[-1]
     scores_all = jax.nn.sigmoid(cls_logits)                    # (N, C)
+    cx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    cy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    inside = (cx < valid_hw[1].astype(cx.dtype)) & (cy < valid_hw[0].astype(cy.dtype))
+    # zeroed rows can never pass the score_thresh candidate filter below;
+    # kept detections therefore always index unmasked scores_all rows
+    scores_all = scores_all * inside[:, None]
 
     cand_scores, cand_boxes, cand_labels, cand_anchor = [], [], [], []
     offset = 0
@@ -245,10 +255,16 @@ class RetinaNet(nn.Module):
         if cfg.backbone == "mobilenet":
             self.reduce = nn.Conv(cfg.fpn_channels, (1, 1), dtype=dt, name="reduce")
 
-    def _features(self, images, *, allow_fused: bool = False):
+    def _features(self, images, valid_hw=None, *, allow_fused: bool = False):
         x = (images / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         if self.cfg.compute_dtype != "float32":
             x = x.astype(jnp.dtype(self.cfg.compute_dtype))
+        if valid_hw is not None:
+            # zero canvas padding in normalized space — reference semantics
+            # (normalize, then zero-pad the batch); see faster_rcnn._features
+            from cald_tpu.models.faster_rcnn import _valid_mask
+
+            x = x * _valid_mask(images.shape[1], images.shape[2], valid_hw, x.dtype)
         from cald_tpu.models.resnet import ResNetBackbone
 
         if isinstance(self.backbone, ResNetBackbone):
@@ -260,10 +276,10 @@ class RetinaNet(nn.Module):
             return [self.reduce(maps[-1])]
         return self.fpn(maps)
 
-    def extract_features(self, images):
+    def extract_features(self, images, valid_hw=None):
         """Pyramid only (LossNet input; reference retina_ll.py forward returns
         (features, outputs))."""
-        return self._features(images)
+        return self._features(images, valid_hw)
 
     def _anchors(self, pyramid):
         cfg = self.cfg
@@ -278,7 +294,7 @@ class RetinaNet(nn.Module):
         """Returns ({'classification', 'bbox_regression'}, pyramid). Loss keys
         match the reference dict (retinanet_cal.py head.compute_loss)."""
         cfg = self.cfg
-        pyramid = self._features(images)
+        pyramid = self._features(images, valid_hw)
         cls_logits, bbox_reg = self.head(pyramid)
         anchors, _ = self._anchors(pyramid)
         cls_loss, reg_loss = jax.vmap(
@@ -294,7 +310,7 @@ class RetinaNet(nn.Module):
 
     def detect(self, images, valid_hw) -> Detections:
         cfg = self.cfg
-        pyramid = self._features(images)
+        pyramid = self._features(images, valid_hw)
         cls_logits, bbox_reg = self.head(pyramid)
         anchors, counts = self._anchors(pyramid)
         return jax.vmap(

@@ -63,7 +63,20 @@ def select_proposals(objectness: jnp.ndarray, deltas: jnp.ndarray,
     """Single image. objectness (N,), deltas (N, 4), anchors (N, 4).
 
     Returns proposals (post_nms_top_n, 4), scores, valid mask.
+
+    Anchors whose centers fall outside ``valid_hw`` (i.e. on canvas padding)
+    are excluded from candidacy. The reference scores at batch 1 where the
+    canvas is the image padded to a multiple of 32 — at most a 31-px ring of
+    out-of-image anchors; on the fixed TPU canvases the padded region can be
+    arbitrarily large, and excluding it makes detection independent of the
+    canvas choice (PARITY.md: canvas-independence).
     """
+    NEG = jnp.float32(-1e9)
+    cx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    cy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    inside = (cx < valid_hw[1].astype(cx.dtype)) & (cy < valid_hw[0].astype(cy.dtype))
+    objectness = jnp.where(inside, objectness, NEG)
+
     # per-level top-k (static k), torchvision _get_top_n_idx
     sel_obj, sel_boxes, sel_lvl = [], [], []
     offset = 0
@@ -88,7 +101,7 @@ def select_proposals(objectness: jnp.ndarray, deltas: jnp.ndarray,
     boxes = clip_boxes(boxes, (h, w))
     ws = boxes[:, 2] - boxes[:, 0]
     hs = boxes[:, 3] - boxes[:, 1]
-    keepable = (ws >= min_size) & (hs >= min_size)
+    keepable = (ws >= min_size) & (hs >= min_size) & (scores > NEG / 2)
 
     # torchvision applies sigmoid before NMS ordering; monotonic, but scores
     # returned downstream are sigmoid probabilities.

@@ -57,7 +57,8 @@ def make_ll_score_fn(model, lossnet, *, num_levels: int = 4) -> Callable:
     losses (B,) (ll_train.py:145-166 runs LossNet on eval-mode features)."""
 
     def fn(task_variables, ll_params, images, valid_hw):
-        pyramid = model.apply(task_variables, images, method="extract_features")
+        pyramid = model.apply(task_variables, images, valid_hw,
+                              method="extract_features")
         return lossnet.apply({"params": ll_params}, pyramid[:num_levels])
 
     return jax.jit(fn)

@@ -236,7 +236,7 @@ def filter_proposals(proposals, objectness, counts, hw, *, pre_nms_top_n,
 
     boxes = np_clip_boxes(boxes, hw)
     ws, hs = boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
-    keep = (ws >= min_size) & (hs >= min_size)
+    keep = (ws >= min_size) & (hs >= min_size) & (scores > -1e8)
     boxes, scores, lvls = boxes[keep], scores[keep], lvls[keep]
     keep = np_batched_nms(boxes, scores, lvls, nms_thresh)[:post_nms_top_n]
     return boxes[keep], scores[keep]
@@ -287,6 +287,12 @@ def golden_detect(pyramid_nhwc, params, valid_hw, cfg):
             cfg.anchor_sizes if len(cfg.anchor_sizes) == len(pyramid_nhwc)
             else [cfg.anchor_sizes[0]] * len(pyramid_nhwc))
     ], 0)
+    # canvas-independence semantics (PARITY.md): anchors centered on canvas
+    # padding are excluded from candidacy, matching rpn.select_proposals
+    cx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    cy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    inside = (cx < float(valid_hw[1])) & (cy < float(valid_hw[0]))
+    objectness = np.where(inside, objectness, -1e9)
     proposals_all = np_decode_boxes(deltas, anchors)
     props, _ = filter_proposals(
         proposals_all, objectness, counts, valid_hw,

@@ -1,0 +1,123 @@
+"""Canvas-independence of the detect path + shrink-slice scoring equivalence.
+
+TPU-first design note: the reference scores pools at batch 1, where
+torchvision's canvas is the image padded to a multiple of 32 — detection is
+(nearly) canvas-free there. Our fixed bucket canvases can pad arbitrarily, so
+the models (a) zero canvas padding in NORMALIZED space (the reference's
+normalize-then-zero-pad order, GeneralizedRCNNTransform) and (b) exclude
+anchors centered on padding from candidacy.
+
+With zero-bias norms, zero padding stays zero through the net and ``detect``
+is an exact function of the image content alone, pinned here on two canvases.
+With nonzero norm biases (trained weights) the padding region carries
+bias-propagated halo values whose extent depends on the canvas, so cells
+within a conv-depth of the valid edge at coarse pyramid levels deviate — a
+bounded edge-band effect the reference shares in a worse form (its training
+canvas is the max size over the batch, so detections there depend on
+BATCHMATES; ours depend only on the per-bucket canvas constant). PARITY.md
+documents the trade.
+
+The CALD scorer exploits the same property: shrink-resize augmentations
+detect on a proportionally smaller canvas slice (strategies/cald.py
+_detect_augs), saving ~35% of that forward's FLOPs; the perturbed-norm test
+pins that end scores agree tightly even in the trained-bias regime.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import cald_tpu.strategies.cald as cald_mod
+from cald_tpu.models import FasterRCNN
+from cald_tpu.models.faster_rcnn import FasterRCNNConfig
+from cald_tpu.models.retinanet import RetinaNet, RetinaNetConfig
+from cald_tpu.strategies import CALDConfig, make_cald_score_fn
+
+
+def _perturb_norm_biases(variables, std=0.3, seed=7):
+    """Give frozen/group norms nonzero effective biases (trained-weights
+    regime): zero-input regions then produce nonzero activations."""
+    r = np.random.default_rng(seed)
+
+    def f(path, leaf):
+        name = "/".join(str(p) for p in path)
+        if "bias" in name or "mean" in name:
+            return leaf + jnp.asarray(r.normal(0, std, leaf.shape), leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(f, variables)
+
+
+@pytest.fixture(scope="module")
+def frcnn_setup():
+    model = FasterRCNN(FasterRCNNConfig(
+        num_classes=6, backbone="tiny", compute_dtype="float32",
+        rpn_pre_nms_top_n_test=200, rpn_post_nms_top_n_test=64))
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (1, 320, 384, 3)), jnp.float32)
+    valid_hw = jnp.asarray([[300, 360]], jnp.int32)
+    variables = model.init(jax.random.key(0), images, valid_hw)
+    return model, variables, images, valid_hw
+
+
+def _dets_np(d):
+    return jax.tree.map(np.asarray, d)
+
+
+def test_frcnn_detect_is_canvas_independent(frcnn_setup):
+    model, variables, images, valid_hw = frcnn_setup
+    big = jnp.zeros((1, 384, 448, 3), jnp.float32).at[:, :320, :384].set(images)
+    d1 = _dets_np(model.apply(variables, images, valid_hw, method="detect"))
+    d2 = _dets_np(model.apply(variables, big, valid_hw, method="detect"))
+    v1, v2 = d1.valid.astype(bool), d2.valid.astype(bool)
+    assert int(v1.sum()) == int(v2.sum())
+    np.testing.assert_allclose(d1.boxes[v1], d2.boxes[v2], atol=1e-3)
+    np.testing.assert_allclose(d1.scores[v1], d2.scores[v2], atol=1e-4)
+    np.testing.assert_array_equal(d1.labels[v1], d2.labels[v2])
+
+
+def test_retina_detect_is_canvas_independent():
+    model = RetinaNet(RetinaNetConfig(
+        num_classes=6, backbone="tiny", compute_dtype="float32",
+        topk_candidates=200, detections_per_img=64))
+    images = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 255, (1, 256, 320, 3)), jnp.float32)
+    valid_hw = jnp.asarray([[230, 290]], jnp.int32)
+    variables = model.init(jax.random.key(0), images, valid_hw)
+    # at init every sigmoid sits at the 0.01 focal prior, below the 0.05
+    # score threshold; amplify the head kernels (content-driven — padded
+    # regions still emit only the prior bias) so real candidates exist
+    p = jax.tree.map(lambda x: x, variables["params"])
+    p["head"]["cls_logits"]["kernel"] = p["head"]["cls_logits"]["kernel"] * 60.0
+    p["head"]["bbox_reg"]["kernel"] = p["head"]["bbox_reg"]["kernel"] * 10.0
+    variables = {**variables, "params": p}
+    big = jnp.zeros((1, 320, 384, 3), jnp.float32).at[:, :256, :320].set(images)
+    d1 = _dets_np(model.apply(variables, images, valid_hw, method="detect"))
+    d2 = _dets_np(model.apply(variables, big, valid_hw, method="detect"))
+    v1, v2 = d1.valid.astype(bool), d2.valid.astype(bool)
+    assert int(v1.sum()) > 0
+    assert int(v1.sum()) == int(v2.sum())
+    # box atol 2e-2: XLA re-tiles convs per canvas shape, and the x10
+    # amplified regression deltas pass through exp() in decode — f32 noise
+    np.testing.assert_allclose(d1.boxes[v1], d2.boxes[v2], atol=2e-2)
+    np.testing.assert_allclose(d1.scores[v1], d2.scores[v2], atol=1e-4)
+    np.testing.assert_array_equal(d1.labels[v1], d2.labels[v2])
+
+
+def test_cald_shrink_slice_scoring_matches_full_canvas(frcnn_setup, monkeypatch):
+    """Scores through the sliced-canvas aug detect == the unsliced program
+    (nonzero norm biases; tight tolerance covers the documented edge band
+    at coarse levels)."""
+    model, variables, images, valid_hw = frcnn_setup
+    variables = _perturb_norm_biases(variables)
+    cfg = CALDConfig()
+    fn = make_cald_score_fn(model, cfg, 6)
+    c1, corr1 = fn(variables, images, valid_hw, jax.random.key(1))
+
+    monkeypatch.setattr(cald_mod, "_shrink_ratio", lambda name: None)
+    fn2 = make_cald_score_fn(model, cfg, 6)
+    c2, corr2 = fn2(variables, images, valid_hw, jax.random.key(1))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(corr1), np.asarray(corr2), atol=2e-3)

@@ -70,8 +70,8 @@ def setup():
                                         jnp.asarray(valid_hw))
         variables = {**variables, "params": _amplify(variables["params"])}
         pyramid = jax.jit(
-            lambda v, im: model.apply(v, im, method="extract_features"))(
-            variables, jnp.asarray(images))
+            lambda v, im, hw: model.apply(v, im, hw, method="extract_features"))(
+            variables, jnp.asarray(images), jnp.asarray(valid_hw))
     pyramid = [np.asarray(f, np.float32) for f in pyramid]
     return cfg, model, variables, images, valid_hw, pyramid
 

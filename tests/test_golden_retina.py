@@ -40,8 +40,13 @@ def np_decode(deltas, anchors):
 def golden_retina_postprocess(logits, regs, anchors, hw, *, score_thresh=0.05,
                               nms_thresh=0.5, detections_per_img=300,
                               min_size=1e-2):
-    """retinanet_cal.py:402-488, shape-dynamic numpy."""
+    """retinanet_cal.py:402-488, shape-dynamic numpy (+ the documented
+    canvas-independence mask: anchors centered on canvas padding are not
+    candidates — models/retinanet.py retinanet_postprocess, PARITY.md)."""
     scores = 1.0 / (1.0 + np.exp(-logits))                     # (N, C) sigmoid
+    cxy = (anchors[:, :2] + anchors[:, 2:]) / 2.0
+    inside = (cxy[:, 0] < hw[1]) & (cxy[:, 1] < hw[0])
+    scores = scores * inside[:, None]
     boxes = np_decode(regs, anchors)
     boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, hw[1])
     boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, hw[0])
@@ -76,7 +81,9 @@ def test_retina_postprocess_matches_reference_transcription(rng, seed):
     hot = r.choice(n * c, 30, replace=False)
     logits.reshape(-1)[hot] = r.normal(0.5, 1.5, 30).astype(np.float32)
     regs = r.normal(0, 0.15, (n, 4)).astype(np.float32)
-    xy = r.uniform(4, 70, (n, 2))
+    # a handful of anchors centered beyond valid_hw (canvas padding) exercise
+    # the canvas-independence candidate mask on both paths
+    xy = r.uniform(4, 120, (n, 2))
     wh = r.uniform(8, 24, (n, 2))
     anchors = np.concatenate([xy, xy + wh], 1).astype(np.float32)
     hw = np.asarray([96, 112], np.int32)
