@@ -2,33 +2,39 @@
 
 XLA's gather tops out at ~35M small descriptors/s on v5e, putting the pointwise
 RoIAlign at ~11 ms per image x 1000 rois (PERF.md). Here each roi issues ONE
-strided rectangular DMA — the (win_h, span) feature window at its assigned
-level — into VMEM, and the bilinear sampling + 2x2 mean-pool collapse into two
-small interpolation matmuls (weights built outside the kernel).
+strided rectangular DMA — the feature window at its assigned level — into VMEM,
+and the bilinear sampling + 2x2 mean-pool collapse into two small interpolation
+matmuls (weights built outside the kernel).
+
+Round-3 measurements (PERF.md): the stage is NOT DMA-bandwidth-bound at the
+fast-scoring roi counts — per-roi size-bucketed DMAs (4x4 static size classes
+into a slice of the worst-case scratch; zero interpolation weights make the
+stale remainder inert) halved the bytes moved and made the stage SLOWER
+(branch dispatch on the scalar core), and double-buffering the window DMA
+against the compute was neutral. The kernel therefore runs the double-buffered
+single-size-class configuration (_buckets returns just the envelope); the
+bucket plumbing stays parametrized for future re-tuning at higher roi counts,
+where bandwidth does dominate.
 
 Exactness: identical to method='points' whenever the roi spans at most
-win_h-2 rows and span-2 columns at its assigned FPN level. The level mapper
-keeps sqrt(area)/stride in [14, 28); see the WIN_INFER/WIN_TRAIN envelope
-comment below for the aspect-ratio coverage of each window choice; more
-extreme rois clamp their outermost samples to the window edge (sub-pixel
-error on a rare tail).
-
-Weights/indices are computed with plain jnp (cheap, fused by XLA); the kernel
-only moves the window and runs the two contractions.
+win_h-2 rows and span-2 columns at its assigned FPN level (bucketing preserves
+this: a bucket always covers the full sample extent or the roi lands in the
+worst-case bucket with the old clamp semantics). More extreme rois clamp
+their outermost samples to the window edge (sub-pixel error on a rare tail).
 
 Autodiff: a custom_vjp makes the kernel trainable (the reference trains
 through roi_align, frcnn_la.py:206-209). The backward is the transpose of the
 forward's two interpolation contractions — gwin = wy^T @ gout @ wx per roi —
-scattered back with one read-accumulate-write window DMA pair per roi into a
-zero-initialized gradient buffer (input_output_aliased). TPU grid steps run
-sequentially on one core, so the read-modify-write accumulation over
-overlapping roi windows is race-free by construction. Rois and box coords get
-zero cotangents (torchvision's roi_align likewise only differentiates the
-features; proposals are detached in the reference).
+scattered back with one read-accumulate-write window DMA pair per roi (same
+bucketed extents; gwin is zero outside them) into a zero-initialized gradient
+buffer (input_output_aliased). TPU grid steps run sequentially on one core, so
+the read-modify-write accumulation over overlapping roi windows is race-free
+by construction. Rois get zero cotangents (torchvision's roi_align likewise
+only differentiates the features; proposals are detached in the reference).
 
 Constraints: C must be a multiple of 128 (Mosaic lane-aligned reshapes); HBM
 slice starts must be W-tile (8) aligned (handled here via aligned window
-starts + pl.multiple_of).
+starts + pl.multiple_of), and col bucket sizes are multiples of 8.
 """
 
 from __future__ import annotations
@@ -43,18 +49,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cald_tpu.ops.roi_align import fpn_level_assignment
 
-# Window envelopes (rows x cols; cols are a multiple of the HBM W-tile (8)
-# and window starts are tile-aligned):
+# Worst-case window envelopes (rows x cols; cols are a multiple of the HBM
+# W-tile (8) and window starts are tile-aligned):
 #  * inference/scoring: 44x48 — covers sqrt(area)/stride < 28 at aspect ratio
-#    <= ~2.2 (rows) / ~2.7 (cols) exactly; shrunk after measuring the window
-#    DMA as the RoI stage's dominant cost (48x56x256xbf16 = 1.3 MB/roi).
-#    Wider rois clamp their outermost samples (score-parity tail, measured).
+#    <= ~2.2 (rows) / ~2.7 (cols) exactly. Wider rois clamp their outermost
+#    samples (score-parity tail, measured).
 #  * training: 48x56 — aspect ~2.9 (rows) / ~4 (cols) envelope, so gradients
 #    of elongated regressed boxes (anchors reach AR 2.0 and regression
 #    overshoots) stay exact (ADVICE r2: don't let the scoring-path shrink
 #    silently change training numerics).
 WIN_INFER = (44, 48)
 WIN_TRAIN = (48, 56)
+
+
+def _buckets(limit: int) -> tuple:
+    """DMA-size buckets ending at the envelope (col buckets stay W-tile
+    multiples). Single bucket: branch-dispatch cost in the kernel outweighed
+    the traffic saving (measured round 3) — the envelope is the bucket."""
+    return (limit,)
 
 
 def _axis_weights(pos, base0, n_valid, inside, window, out_size, sr, dtype):
@@ -82,23 +94,50 @@ def _axis_weights(pos, base0, n_valid, inside, window, out_size, sr, dtype):
     return w.reshape(r, out_size, sr, window).mean(axis=2).astype(dtype)
 
 
-def _roi_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int,
-                win_h: int, span: int):
+def _roi_kernel(lvl_ref, y0_ref, x0_ref, rb_ref, cb_ref, *refs,
+                num_levels: int, c: int, win_h: int, span: int,
+                row_buckets: tuple, col_buckets: tuple):
+    """Double-buffered: step i waits for its own window (started at i-1) and
+    prefetches roi i+1's window into the other slot while it computes — the
+    stage runs at max(DMA, compute) instead of their sum."""
     fs = refs[:num_levels]
-    wy_ref, wx_ref, out_ref, win, sem = refs[num_levels:]
+    wy_ref, wx_ref, out_ref, win2, sem2 = refs[num_levels:]
     i = pl.program_id(0)
-    lvl = lvl_ref[i]
-    y0 = y0_ref[i]
-    x0 = pl.multiple_of(x0_ref[i], 8)   # host aligns starts to the W-tile
-    for l in range(num_levels):
-        @pl.when(lvl == l)
-        def _(l=l):
-            cp = pltpu.make_async_copy(
-                fs[l].at[pl.ds(y0, win_h), pl.ds(x0, span), :], win, sem)
-            cp.start()
-            cp.wait()
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
 
-    w = win[:].astype(jnp.float32)                 # (win_h, span, C)
+    def window_dma(k, sl):
+        """Guarded DMA starts/waits for roi k into slot sl (static branch per
+        (level, row bucket, col bucket); exactly one fires)."""
+        lvl = lvl_ref[k]
+        y0 = y0_ref[k]
+        x0 = pl.multiple_of(x0_ref[k], 8)   # host aligns starts to the W-tile
+        rb = rb_ref[k]
+        cb = cb_ref[k]
+
+        def do(op):
+            for l in range(num_levels):
+                for bi, rh in enumerate(row_buckets):
+                    for bj, cs in enumerate(col_buckets):
+                        @pl.when((lvl == l) & (rb == bi) & (cb == bj))
+                        def _(l=l, rh=rh, cs=cs):
+                            op(pltpu.make_async_copy(
+                                fs[l].at[pl.ds(y0, rh), pl.ds(x0, cs), :],
+                                win2.at[sl, pl.ds(0, rh), pl.ds(0, cs), :],
+                                sem2.at[sl]))
+        return do
+
+    @pl.when(i == 0)
+    def _():
+        window_dma(i, slot)(lambda cp: cp.start())
+
+    @pl.when(i + 1 < n)
+    def _():
+        window_dma(i + 1, 1 - slot)(lambda cp: cp.start())
+
+    window_dma(i, slot)(lambda cp: cp.wait())
+
+    w = win2[slot].astype(jnp.float32)             # (win_h, span, C)
     wy = wy_ref[0].astype(jnp.float32)             # (7, win_h)
     wx = wx_ref[0].astype(jnp.float32)             # (7, span)
     t = jax.lax.dot_general(wy, w.reshape(win_h, span * c),
@@ -114,12 +153,22 @@ def _roi_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int,
     out_ref[0] = out.reshape(wx.shape[0], wy.shape[0], c).transpose(1, 0, 2)
 
 
+def _bucketize(needed, buckets):
+    """Index of the smallest bucket >= needed (or the last: clamp regime)."""
+    idx = jnp.zeros(needed.shape, jnp.int32)
+    for b in buckets[:-1]:
+        idx += (needed > b).astype(jnp.int32)
+    return jnp.clip(idx, 0, len(buckets) - 1)
+
+
 def _plan(feats, rois, spatial_scales, output_size: int, sampling_ratio: int,
           win_h: int, span: int):
-    """Shared fwd/bwd prolog: level assignment, zero-padded levels, aligned
-    window starts, pooled interpolation weights."""
+    """Shared fwd/bwd prolog: level assignment, zero-padded levels, bucketed
+    aligned window starts, pooled interpolation weights."""
     import math
 
+    row_buckets = _buckets(win_h)
+    col_buckets = _buckets(span)
     s = output_size * sampling_ratio
     k_min = int(round(-math.log2(spatial_scales[0])))
     k_max = int(round(-math.log2(spatial_scales[-1])))
@@ -152,53 +201,74 @@ def _plan(feats, rois, spatial_scales, output_size: int, sampling_ratio: int,
     y = jnp.clip(ys, 0.0, h_l[:, None] - 1.0)
     x = jnp.clip(xs, 0.0, w_l[:, None] - 1.0)
 
-    # window starts (levels smaller than the window clamp to 0; the DMA slice
-    # then clamps inside the level array, and the weight clamp keeps sampling
-    # within the valid extent)
+    # per-roi DMA bucket: smallest (rows, cols) covering the bilinear support
+    # (floor(last)+1 plus the hi neighbor); col extent measured from the
+    # W-tile-aligned start
+    x0a = (jnp.floor(x[:, 0]) // 8) * 8
+    need_r = jnp.floor(y[:, -1]) + 2.0 - jnp.floor(y[:, 0])
+    need_c = jnp.floor(x[:, -1]) + 2.0 - x0a
+    rb = _bucketize(need_r, row_buckets)
+    cb = _bucketize(need_c, col_buckets)
+    # stale scratch beyond a small bucket is killed by zero interpolation
+    # weights, but UNINITIALIZED VMEM can hold NaN bit patterns and 0 * NaN
+    # poisons the contraction — force the first TWO rois (the first write into
+    # each double-buffer slot) to the full-size bucket so their DMAs
+    # initialize the whole scratch windows with finite features.
+    # (Applied BEFORE the start clamps below so the full windows stay in
+    # bounds.)
+    rb = jnp.where(jnp.arange(rb.shape[0]) < 2, len(row_buckets) - 1, rb)
+    cb = jnp.where(jnp.arange(cb.shape[0]) < 2, len(col_buckets) - 1, cb)
+    rh = jnp.asarray(row_buckets, jnp.float32)[rb]
+    cs = jnp.asarray(col_buckets, jnp.float32)[cb]
+
+    # window starts: clamp so the bucket window fits inside the (padded) level;
+    # the weight clamp keeps sampling within the valid extent
     yw0 = jnp.clip(jnp.floor(y[:, 0]), 0,
-                   jnp.maximum(hs_pad[levels] - win_h, 0)).astype(jnp.int32)
-    xw0 = jnp.clip(jnp.floor(x[:, 0]), 0,
-                   jnp.maximum(ws_pad[levels] - span, 0)).astype(jnp.int32)
-    # Mosaic can only slice HBM memrefs at W-tile (8) boundaries
-    xw0 = (xw0 // 8) * 8
+                   jnp.maximum(hs_pad[levels] - rh, 0)).astype(jnp.int32)
+    # ws_pad and cs are both multiples of 8, so the clamp preserves alignment
+    xw0 = jnp.clip(x0a, 0, jnp.maximum(ws_pad[levels] - cs, 0)).astype(jnp.int32)
 
     wy = _axis_weights(y, yw0, h_l, in_y, win_h, output_size, sampling_ratio,
                        jnp.float32)
     wx = _axis_weights(x, xw0, w_l, in_x, span, output_size, sampling_ratio,
                        jnp.float32)
-    return padded, levels.astype(jnp.int32), yw0, xw0, wy, wx
+    return padded, levels.astype(jnp.int32), yw0, xw0, rb, cb, wy, wx
 
 
-def _fwd_call(padded, levels, yw0, xw0, wy, wx, *, output_size: int,
+def _fwd_call(padded, levels, yw0, xw0, rb, cb, wy, wx, *, output_size: int,
               win_h: int, span: int):
     c = padded[0].shape[-1]
     r = levels.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(r,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in padded]
         + [pl.BlockSpec((1, output_size, win_h), lambda i, *_: (i, 0, 0)),
            pl.BlockSpec((1, output_size, span), lambda i, *_: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, output_size, output_size, c),
                                lambda i, *_: (i, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((win_h, span, c), padded[0].dtype),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, win_h, span, c), padded[0].dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     return pl.pallas_call(
         functools.partial(_roi_kernel, num_levels=len(padded), c=c,
-                          win_h=win_h, span=span),
+                          win_h=win_h, span=span,
+                          row_buckets=_buckets(win_h),
+                          col_buckets=_buckets(span)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, output_size, output_size, c),
                                        jnp.float32),
-    )(levels, yw0, xw0, *padded, wy, wx)
+    )(levels, yw0, xw0, rb, cb, *padded, wy, wx)
 
 
-def _roi_bwd_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int,
-                    win_h: int, span: int):
+def _roi_bwd_kernel(lvl_ref, y0_ref, x0_ref, rb_ref, cb_ref, *refs,
+                    num_levels: int, c: int, win_h: int, span: int,
+                    row_buckets: tuple, col_buckets: tuple):
     """Transpose of _roi_kernel: gwin = wy^T @ gout @ wx, accumulated into the
     aliased zero-initialized gradient buffers with a read-add-write window DMA
-    pair. Grid steps are sequential on the TPU core, so overlapping windows
-    accumulate without races."""
+    pair over the roi's bucket extent (gwin is zero beyond it). Grid steps are
+    sequential on the TPU core, so overlapping windows accumulate without
+    races."""
     g_ref, wy_ref, wx_ref = refs[num_levels:num_levels + 3]
     outs = refs[num_levels + 3:num_levels + 3 + num_levels]
     win, sem = refs[-2:]
@@ -206,6 +276,8 @@ def _roi_bwd_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int,
     lvl = lvl_ref[i]
     y0 = y0_ref[i]
     x0 = pl.multiple_of(x0_ref[i], 8)
+    rb = rb_ref[i]
+    cb = cb_ref[i]
 
     g = g_ref[0].astype(jnp.float32)               # (7, 7, c)
     wy = wy_ref[0].astype(jnp.float32)             # (7, win_h)
@@ -224,19 +296,24 @@ def _roi_bwd_kernel(lvl_ref, y0_ref, x0_ref, *refs, num_levels: int, c: int,
     gw = gw.reshape(span, win_h, c).transpose(1, 0, 2)   # (win_h, span, c)
 
     for l in range(num_levels):
-        @pl.when(lvl == l)
-        def _(l=l):
-            window = outs[l].at[pl.ds(y0, win_h), pl.ds(x0, span), :]
-            rd = pltpu.make_async_copy(window, win, sem)
-            rd.start()
-            rd.wait()
-            win[:] = win[:] + gw
-            wr = pltpu.make_async_copy(win, window, sem)
-            wr.start()
-            wr.wait()
+        for bi, rh in enumerate(row_buckets):
+            for bj, cs in enumerate(col_buckets):
+                @pl.when((lvl == l) & (rb == bi) & (cb == bj))
+                def _(l=l, rh=rh, cs=cs):
+                    window = outs[l].at[pl.ds(y0, rh), pl.ds(x0, cs), :]
+                    part = win.at[pl.ds(0, rh), pl.ds(0, cs), :]
+                    rd = pltpu.make_async_copy(window, part, sem)
+                    rd.start()
+                    rd.wait()
+                    win[pl.ds(0, rh), pl.ds(0, cs), :] = (
+                        win[pl.ds(0, rh), pl.ds(0, cs), :]
+                        + gw[:rh, :cs, :])
+                    wr = pltpu.make_async_copy(part, window, sem)
+                    wr.start()
+                    wr.wait()
 
 
-def _bwd_call(g, padded_shapes, levels, yw0, xw0, wy, wx, *,
+def _bwd_call(g, padded_shapes, levels, yw0, xw0, rb, cb, wy, wx, *,
               output_size: int, win_h: int, span: int):
     """Gradient wrt the PADDED per-level features, f32."""
     c = padded_shapes[0][-1]
@@ -244,7 +321,7 @@ def _bwd_call(g, padded_shapes, levels, yw0, xw0, wy, wx, *,
     num_levels = len(padded_shapes)
     zeros = [jnp.zeros(s, jnp.float32) for s in padded_shapes]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(r,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in padded_shapes]
         + [pl.BlockSpec((1, output_size, output_size, c),
@@ -256,46 +333,49 @@ def _bwd_call(g, padded_shapes, levels, yw0, xw0, wy, wx, *,
         scratch_shapes=[pltpu.VMEM((win_h, span, c), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
-    # alias the zero buffers (inputs 3..3+L-1 counting scalar prefetch) to the
+    # alias the zero buffers (inputs 5..5+L-1 counting scalar prefetch) to the
     # outputs: each grid step read-modify-writes its roi's window
     return pl.pallas_call(
         functools.partial(_roi_bwd_kernel, num_levels=num_levels, c=c,
-                          win_h=win_h, span=span),
+                          win_h=win_h, span=span,
+                          row_buckets=_buckets(win_h),
+                          col_buckets=_buckets(span)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(s, jnp.float32)
                    for s in padded_shapes],
-        input_output_aliases={3 + i: i for i in range(num_levels)},
-    )(levels, yw0, xw0, *zeros, g, wy, wx)
+        input_output_aliases={5 + i: i for i in range(num_levels)},
+    )(levels, yw0, xw0, rb, cb, *zeros, g, wy, wx)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _roi_align_cv(feats, rois, spatial_scales, output_size, sampling_ratio,
                   window, meta):
     del meta
-    padded, levels, yw0, xw0, wy, wx = _plan(
+    padded, levels, yw0, xw0, rb, cb, wy, wx = _plan(
         feats, rois, spatial_scales, output_size, sampling_ratio, *window)
-    return _fwd_call(padded, levels, yw0, xw0, wy, wx,
+    return _fwd_call(padded, levels, yw0, xw0, rb, cb, wy, wx,
                      output_size=output_size, win_h=window[0], span=window[1])
 
 
 def _roi_align_cv_fwd(feats, rois, spatial_scales, output_size, sampling_ratio,
                       window, meta):
     del meta
-    padded, levels, yw0, xw0, wy, wx = _plan(
+    padded, levels, yw0, xw0, rb, cb, wy, wx = _plan(
         feats, rois, spatial_scales, output_size, sampling_ratio, *window)
-    out = _fwd_call(padded, levels, yw0, xw0, wy, wx, output_size=output_size,
-                    win_h=window[0], span=window[1])
-    return out, (levels, yw0, xw0, wy, wx)
+    out = _fwd_call(padded, levels, yw0, xw0, rb, cb, wy, wx,
+                    output_size=output_size, win_h=window[0], span=window[1])
+    return out, (levels, yw0, xw0, rb, cb, wy, wx)
 
 
 def _roi_align_cv_bwd(spatial_scales, output_size, sampling_ratio, window,
                       meta, res, g):
-    levels, yw0, xw0, wy, wx = res
+    levels, yw0, xw0, rb, cb, wy, wx = res
     win_h, span = window
     pad_shapes = tuple(
         (max(h, win_h), max(w, span), c) for (h, w, c), _ in meta)
     gpad = _bwd_call(g.astype(jnp.float32), pad_shapes, levels, yw0, xw0,
-                     wy, wx, output_size=output_size, win_h=win_h, span=span)
+                     rb, cb, wy, wx, output_size=output_size, win_h=win_h,
+                     span=span)
     dfeats = tuple(
         gp[: s[0], : s[1], :].astype(dt)
         for gp, (s, dt) in zip(gpad, meta))
@@ -311,8 +391,9 @@ def pallas_multi_scale_roi_align(feats, rois, *, spatial_scales,
     """feats: list of (H_l, W_l, C); rois (R, 4). Returns (R, 7, 7, C) f32.
     Differentiable wrt feats (custom_vjp scatter-windows kernel); rois get
     zero cotangents (they are stop_gradient'ed upstream anyway).
-    ``window``: the (rows, cols) DMA envelope — WIN_INFER (44, 48) for the
-    scoring path, WIN_TRAIN (48, 56) on the training path (header comment)."""
+    ``window``: the (rows, cols) worst-case DMA envelope — WIN_INFER (44, 48)
+    for the scoring path, WIN_TRAIN (48, 56) on the training path (header
+    comment). Per-roi DMAs use the smallest size bucket covering the roi."""
     meta = tuple((tuple(f.shape), jnp.dtype(f.dtype).name) for f in feats)
     return _roi_align_cv(tuple(feats), rois, tuple(spatial_scales),
                          output_size, sampling_ratio, tuple(window), meta)

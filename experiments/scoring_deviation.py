@@ -1,0 +1,224 @@
+"""Quantify the fast-scoring deviations against reference-faithful scoring.
+
+The driver's default CALD scoring trims RPN candidates to pre400/post256
+(cli/config.py score_rpn_{pre,post}_nms) and detects shrink-resize augs on a
+sliced canvas (strategies/cald.py _detect_augs), while the reference scores
+through the full post-NMS-1000 eval path (/root/reference/detection/
+frcnn_la.py:154-156 via cald_train.py:107). Different proposals -> different
+detections -> different consistency scores. This experiment measures whether
+that changes anything an AL user can observe: per-image score deltas, rank
+correlation, stage-1 candidate-set overlap, and final two-stage selection
+Jaccard, on a realistic-scale synthetic pool with a briefly trained R50-FPN.
+
+    python experiments/scoring_deviation.py [--steps 300] [--pool 512]
+        [--budget 50] [--seeds 3]
+
+Prints one JSON line per (seed, config) and a summary block; results recorded
+in EXPERIMENTS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import cald_tpu.strategies.cald as cald_mod
+from cald_tpu.engine.optim import make_sgd
+from cald_tpu.engine.state import create_train_state
+from cald_tpu.engine.train import make_train_step
+from cald_tpu.models import fasterrcnn_resnet50_fpn_feature
+from cald_tpu.strategies import CALDConfig, make_cald_score_fn
+from cald_tpu.strategies.cald import cald_select
+
+CANVAS = (640, 1024)
+VALID = (600, 1000)
+NUM_CLASSES = 21
+MAX_BOXES = 8
+
+# class-coded base colors (20 fg classes), textured so features are non-flat
+_PALETTE = np.stack([
+    np.array([(37 * (i + 3)) % 200 + 30,
+              (91 * (i + 7)) % 200 + 30,
+              (53 * (i + 11)) % 200 + 30], np.float32)
+    for i in range(NUM_CLASSES - 1)
+])
+
+
+def make_scene(rng: np.random.Generator):
+    """One (600, 1000) scene: textured background + 1..6 textured objects
+    (rectangles/ellipses, sizes 60..380 px, aspects 0.4..2.5, may overlap)."""
+    h, w = VALID
+    base = rng.uniform(60, 180, (3,)).astype(np.float32)
+    img = np.broadcast_to(base, (h, w, 3)).copy()
+    # low-frequency background texture
+    low = rng.normal(0, 18, (h // 50 + 2, w // 50 + 2, 3)).astype(np.float32)
+    ys = np.linspace(0, low.shape[0] - 1.001, h)
+    xs = np.linspace(0, low.shape[1] - 1.001, w)
+    yi, xi = ys.astype(int), xs.astype(int)
+    img += low[yi][:, xi]
+    img += rng.normal(0, 6, (h, w, 3))
+
+    boxes, labels = [], []
+    for _ in range(int(rng.integers(1, 7))):
+        c = int(rng.integers(1, NUM_CLASSES))
+        area = rng.uniform(60, 380) ** 2
+        aspect = rng.uniform(0.4, 2.5)
+        bh = int(np.clip(np.sqrt(area * aspect), 24, h - 2))
+        bw = int(np.clip(np.sqrt(area / aspect), 24, w - 2))
+        y1 = int(rng.integers(0, h - bh))
+        x1 = int(rng.integers(0, w - bw))
+        patch = _PALETTE[c - 1] + rng.normal(0, 14, (bh, bw, 3))
+        # radial soft edge so boxes are learnable but not trivial
+        yy = np.linspace(-1, 1, bh)[:, None]
+        xx = np.linspace(-1, 1, bw)[None, :]
+        if rng.random() < 0.5:          # ellipse
+            mask = (yy ** 2 + xx ** 2) <= 1.0
+        else:                           # rectangle with jittered border
+            mask = (np.abs(yy) <= 0.98) & (np.abs(xx) <= 0.98)
+        region = img[y1:y1 + bh, x1:x1 + bw]
+        region[mask] = patch[mask]
+        boxes.append([x1, y1, x1 + bw, y1 + bh])
+        labels.append(c)
+    return (np.clip(img, 0, 255).astype(np.float32),
+            np.asarray(boxes, np.float32), np.asarray(labels, np.int32))
+
+
+def batch_scenes(rng, n):
+    """n scenes pasted onto the canvas; returns device-ready arrays."""
+    imgs = np.zeros((n, *CANVAS, 3), np.float32)
+    boxes = np.zeros((n, MAX_BOXES, 4), np.float32)
+    labels = np.zeros((n, MAX_BOXES), np.int32)
+    valid = np.zeros((n, MAX_BOXES), bool)
+    for i in range(n):
+        im, bx, lb = make_scene(rng)
+        imgs[i, :VALID[0], :VALID[1]] = im
+        k = min(len(bx), MAX_BOXES)
+        boxes[i, :k] = bx[:k]
+        labels[i, :k] = lb[:k]
+        valid[i, :k] = True
+    hw = np.tile(np.asarray(VALID, np.int32), (n, 1))
+    return imgs, hw, boxes, labels, valid
+
+
+def train_model(seed: int, steps: int, batch: int = 4, bank_size: int = 96):
+    """Train R50-FPN on a pre-generated scene bank (scene synthesis is
+    host-bound on this 1-core box — pay it once, sample batches from it)."""
+    model = fasterrcnn_resnet50_fpn_feature(NUM_CLASSES)
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    bank = batch_scenes(rng, bank_size)
+    print(f"  scene bank ({bank_size}) in {time.time() - t0:.0f}s", flush=True)
+    state = create_train_state(
+        model, (jnp.asarray(bank[0][:2]), jnp.asarray(bank[1][:2])),
+        lambda p: make_sgd(0.005, momentum=0.9, weight_decay=1e-4, params=p),
+        seed=seed)
+    step_fn = make_train_step(model)
+    t0 = time.time()
+    for s in range(steps):
+        idx = rng.choice(bank_size, batch, replace=False)
+        state, metrics = step_fn(state, *(jnp.asarray(a[idx]) for a in bank),
+                                 jax.random.fold_in(jax.random.key(seed), s))
+        if s % 100 == 0 or s == steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            assert np.isfinite(m["loss"]), m
+            print(f"  step {s}: loss {m['loss']:.3f}", flush=True)
+    print(f"  trained {steps} steps in {time.time() - t0:.0f}s", flush=True)
+    return state.variables
+
+
+def score_pool(variables, pool_imgs, pool_hw, *, rpn_pre, rpn_post,
+               shrink: bool, score_batch: int, key):
+    kw = (dict(rpn_pre_nms_top_n_test=rpn_pre, rpn_post_nms_top_n_test=rpn_post)
+          if rpn_post else {})
+    model = fasterrcnn_resnet50_fpn_feature(NUM_CLASSES, **kw)
+    orig = cald_mod._shrink_ratio
+    if not shrink:
+        cald_mod._shrink_ratio = lambda name: None
+    try:
+        fn = make_cald_score_fn(model, CALDConfig(), NUM_CLASSES)
+        cs, corrs = [], []
+        for i in range(0, len(pool_imgs), score_batch):
+            c, corr = fn(variables, jnp.asarray(pool_imgs[i:i + score_batch]),
+                         jnp.asarray(pool_hw[i:i + score_batch]),
+                         jax.random.fold_in(key, i))
+            cs.append(np.asarray(c))
+            corrs.append(np.asarray(corr))
+        return np.concatenate(cs), np.concatenate(corrs, axis=0)
+    finally:
+        cald_mod._shrink_ratio = orig
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--pool", type=int, default=512)
+    ap.add_argument("--budget", type=int, default=50)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--score-batch", type=int, default=32)
+    args = ap.parse_args()
+
+    from scipy.stats import spearmanr
+
+    cfg = CALDConfig()
+    n_cand = int(cfg.mutual_range * args.budget)
+    configs = {
+        "faithful": dict(rpn_pre=0, rpn_post=0, shrink=False),
+        "fast(400/256)": dict(rpn_pre=400, rpn_post=256, shrink=False),
+        "fast+slice": dict(rpn_pre=400, rpn_post=256, shrink=True),
+        "fast(400/128)": dict(rpn_pre=400, rpn_post=128, shrink=True),
+    }
+    summary = {k: [] for k in configs if k != "faithful"}
+    for seed in range(args.seeds):
+        print(f"== seed {seed} ==", flush=True)
+        variables = train_model(seed, args.steps)
+        rng = np.random.default_rng(1000 + seed)
+        pool_imgs, pool_hw, *_ = batch_scenes(rng, args.pool)
+        # labeled set for the stage-2 class histogram
+        _, _, lb_boxes, lb_labels, lb_valid = batch_scenes(rng, 100)
+        counts = np.zeros((100, NUM_CLASSES - 1))
+        for i in range(100):
+            for l in lb_labels[i][lb_valid[i]]:
+                counts[i, l - 1] += 1
+        labeled_mean = counts.mean(axis=0)
+
+        key = jax.random.key(7000 + seed)      # same aug draws for all configs
+        results = {}
+        for name, ckw in configs.items():
+            t0 = time.time()
+            c, corr = score_pool(variables, pool_imgs, pool_hw,
+                                 score_batch=args.score_batch, key=key, **ckw)
+            sel = cald_select(c, corr, labeled_mean, args.budget, cfg)
+            cand = np.argsort(c, kind="stable")[:n_cand]
+            results[name] = (c, corr, set(sel.tolist()), set(cand.tolist()))
+            print(f"  {name}: scored {args.pool} in {time.time()-t0:.0f}s  "
+                  f"mean c={c.mean():.4f} std={c.std():.4f} "
+                  f"zero-score frac={float(np.mean(c == 0)):.2f}", flush=True)
+
+        base_c, _, base_sel, base_cand = results["faithful"]
+        for name in summary:
+            c, _, sel, cand = results[name]
+            rec = {
+                "seed": seed, "config": name,
+                "mean_abs_dc": float(np.mean(np.abs(c - base_c))),
+                "max_abs_dc": float(np.max(np.abs(c - base_c))),
+                "spearman": float(spearmanr(c, base_c).statistic),
+                "stage1_overlap": len(cand & base_cand) / n_cand,
+                "selection_jaccard": len(sel & base_sel) / len(sel | base_sel),
+            }
+            summary[name].append(rec)
+            print(json.dumps(rec), flush=True)
+
+    print("== summary (mean over seeds) ==")
+    for name, recs in summary.items():
+        agg = {k: round(float(np.mean([r[k] for r in recs])), 4)
+               for k in recs[0] if k not in ("seed", "config")}
+        print(json.dumps({"config": name, **agg}))
+
+
+if __name__ == "__main__":
+    main()
