@@ -534,9 +534,16 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
                 # mismatch the weights — the round-2 VERDICT's --skip bug)
                 pool = skip_pool
         elif cfg.strategy == "ll4al":
-            state, strategy_state["ll_state"] = _train_cycle_ll4al(
+            state, ll_state = _train_cycle_ll4al(
                 cfg, model, frozen_prefixes, strategy_state["lossnet"],
                 train_ds, pool, canvases, group_ids, cycle=cycle)
+            if jax.process_count() > 1:
+                # like `state` below: globally-replicated -> host numpy so
+                # the process-local LossNet scoring pass can consume it
+                from cald_tpu.parallel import to_host_local
+
+                ll_state = to_host_local(ll_state)
+            strategy_state["ll_state"] = ll_state
         elif cfg.strategy == "vaal":
             state, strategy_state["vaal"] = _train_cycle_vaal(
                 cfg, model, frozen_prefixes, train_ds, pool, canvases,
@@ -610,19 +617,18 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
 
 def _train_cycle_ll4al(cfg, model, frozen_prefixes, lossnet, dataset, pool,
                        canvases, group_ids, *, cycle: int):
-    """Joint detector+LossNet training (ll_train.py:55-133).
-
-    Multi-process note: this loop runs REPLICATED (shard=False) — every process
-    trains the identical model on the identical batches, because the joint
-    task+LossNet step lives outside the global mesh. Redundant but correct;
-    scoring still shards the pool."""
+    """Joint detector+LossNet training (ll_train.py:55-133), on the global
+    data mesh like train_cycle: per-process loader shards assemble into a
+    global batch, both states are replicated, and the jitted joint step's
+    batch means give XLA the gradient all-reduce (SURVEY §2.7-2.8). The
+    LossPredLoss ranking pairs are formed over the GLOBAL batch inside jit —
+    identical semantics to a single process seeing the concatenated batch."""
     from cald_tpu.engine.state import TrainState
 
     example = (jnp.zeros((cfg.batch_size, canvases[0].height, canvases[0].width, 3)),
                jnp.zeros((cfg.batch_size, 2), jnp.int32))
     loader0 = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
-                       train=True, canvases=canvases, group_ids=group_ids,
-                       shard=False)
+                       train=True, canvases=canvases, group_ids=group_ids)
     sched = multistep_with_warmup(cfg.lr, max(len(loader0), 1),
                                   milestones=cfg.lr_steps, gamma=cfg.lr_gamma,
                                   warmup_iters=cfg.warmup_iters)
@@ -642,21 +648,24 @@ def _train_cycle_ll4al(cfg, model, frozen_prefixes, lossnet, dataset, pool,
     ll_state = TrainState(step=jnp.zeros((), jnp.int32), params=ll_params,
                           frozen={}, opt_state=ll_tx.init(ll_params), tx=ll_tx)
 
+    put_batch, put_state = _mesh_hooks(train=True)
+    task_state = put_state(task_state)
+    ll_state = put_state(ll_state)
     step = make_ll_train_step(model, lossnet, ll_weight=cfg.ll_weight)
     for epoch in range(cfg.epochs):
         loader = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
                           train=True, canvases=canvases, group_ids=group_ids,
-                          seed=cfg.seed + cycle * 1000 + epoch, shard=False)
+                          seed=cfg.seed + cycle * 1000 + epoch)
         detach = epoch >= cfg.task_epochs
         metrics = None
-        for bi, batch in enumerate(loader):
+        for bi, batch in enumerate(_lockstep(loader)):
+            b = put_batch(batch)
+            # host-derived step rng: identical on every process, no device sync
             rng = jax.random.fold_in(jax.random.key(cfg.seed + 3),
-                                     int(task_state.step))
+                                     (cycle * 1000 + epoch) * 100000 + bi)
             task_state, ll_state, metrics = step(
-                task_state, ll_state, jnp.asarray(batch.images),
-                jnp.asarray(batch.valid_hw), jnp.asarray(batch.boxes),
-                jnp.asarray(batch.labels), jnp.asarray(batch.box_valid), rng,
-                detach_features=detach)
+                task_state, ll_state, b.images, b.valid_hw, b.boxes,
+                b.labels, b.box_valid, rng, detach_features=detach)
         last = ("empty loader" if metrics is None
                 else f"loss {float(metrics['loss']):.4f}")
         print(f"ll4al cycle {cycle} epoch {epoch}: {last}")

@@ -181,21 +181,36 @@ def score_pool(score_fn: Callable, variables, loader, key: jax.Array,
     consistency = np.zeros((n,), np.float64)
     cls_corrs = None
     seen = np.zeros((n,), bool)
+
+    def record(pending):
+        nonlocal cls_corrs
+        c_dev, corr_dev, image_idx = pending
+        c = np.asarray(c_dev)
+        corr = np.asarray(corr_dev)
+        if cls_corrs is None:
+            cls_corrs = np.zeros((n, corr.shape[-1]), np.float64)
+        for i, idx in enumerate(image_idx):
+            p = pos[int(idx)]
+            consistency[p] = c[i]
+            cls_corrs[p] = corr[i]
+            seen[p] = True
+
+    # keep one batch in flight: dispatch batch k+1 (and let the loader build
+    # it) while the device scores batch k — on the remote-exec backend the
+    # fixed ~30 ms dispatch overhead and host-side decode otherwise serialize
+    # with device compute (PERF.md)
+    pending = None
     for bi, batch in enumerate(loader):
         if put is not None:
             batch = put(batch)
         c, corr = score_fn(variables, jnp.asarray(batch.images),
                            jnp.asarray(batch.valid_hw),
                            jax.random.fold_in(key, bi))
-        c = np.asarray(c)
-        corr = np.asarray(corr)
-        if cls_corrs is None:
-            cls_corrs = np.zeros((n, corr.shape[-1]), np.float64)
-        for i, idx in enumerate(batch.image_idx):
-            p = pos[int(idx)]
-            consistency[p] = c[i]
-            cls_corrs[p] = corr[i]
-            seen[p] = True
+        if pending is not None:
+            record(pending)
+        pending = (c, corr, batch.image_idx)
+    if pending is not None:
+        record(pending)
     if not seen.all():
         raise RuntimeError(f"pool scoring missed {int((~seen).sum())} images")
     return consistency, cls_corrs

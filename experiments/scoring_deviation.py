@@ -107,15 +107,24 @@ def batch_scenes(rng, n):
 
 def train_model(seed: int, steps: int, batch: int = 4, bank_size: int = 96):
     """Train R50-FPN on a pre-generated scene bank (scene synthesis is
-    host-bound on this 1-core box — pay it once, sample batches from it)."""
-    model = fasterrcnn_resnet50_fpn_feature(NUM_CLASSES)
+    host-bound on this 1-core box — pay it once, sample batches from it).
+
+    GroupNorm backbone: there are no pretrained weights in this environment,
+    and a random-init ResNet-50 with identity FrozenBN diverges (the reference
+    always starts from pretrained BN stats). The RPN-count deviation under
+    study is norm-agnostic."""
+    from cald_tpu.engine.schedules import multistep_with_warmup
+
+    model = fasterrcnn_resnet50_fpn_feature(NUM_CLASSES, norm="group")
     rng = np.random.default_rng(seed)
     t0 = time.time()
     bank = batch_scenes(rng, bank_size)
     print(f"  scene bank ({bank_size}) in {time.time() - t0:.0f}s", flush=True)
+    sched = multistep_with_warmup(0.0025, steps, milestones=(), gamma=1.0,
+                                  warmup_iters=min(200, steps // 2))
     state = create_train_state(
         model, (jnp.asarray(bank[0][:2]), jnp.asarray(bank[1][:2])),
-        lambda p: make_sgd(0.005, momentum=0.9, weight_decay=1e-4, params=p),
+        lambda p: make_sgd(sched, momentum=0.9, weight_decay=1e-4, params=p),
         seed=seed)
     step_fn = make_train_step(model)
     t0 = time.time()
@@ -135,7 +144,7 @@ def score_pool(variables, pool_imgs, pool_hw, *, rpn_pre, rpn_post,
                shrink: bool, score_batch: int, key):
     kw = (dict(rpn_pre_nms_top_n_test=rpn_pre, rpn_post_nms_top_n_test=rpn_post)
           if rpn_post else {})
-    model = fasterrcnn_resnet50_fpn_feature(NUM_CLASSES, **kw)
+    model = fasterrcnn_resnet50_fpn_feature(NUM_CLASSES, norm="group", **kw)
     orig = cald_mod._shrink_ratio
     if not shrink:
         cald_mod._shrink_ratio = lambda name: None

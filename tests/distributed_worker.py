@@ -17,6 +17,7 @@ import sys
 def main():
     pid, port, voc_root, outfile = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
                                     sys.argv[4])
+    strategy = sys.argv[5] if len(sys.argv) > 5 else "cald"
     from cald_tpu.parallel import initialize_distributed
 
     assert initialize_distributed(coordinator=f"localhost:{port}",
@@ -30,7 +31,7 @@ def main():
     from cald_tpu.data import get_voc2007
 
     cfg = ALConfig(
-        dataset="voc2007", data_path=voc_root, model="faster", strategy="cald",
+        dataset="voc2007", data_path=voc_root, model="faster", strategy=strategy,
         tiny=True, norm="group", cycles=2, epochs=1, batch_size=2,
         init_num=4, budget_num=3, score_batch_size=2, workers=0,
         min_size=96, max_size=128, max_boxes=8, print_freq=100,

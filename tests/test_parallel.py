@@ -82,12 +82,16 @@ class TestSingleProcessHelpers:
 
 
 @pytest.mark.slow
-def test_two_process_al_cycle(tmp_path):
+@pytest.mark.parametrize("strategy", ["cald", "ll4al"])
+def test_two_process_al_cycle(tmp_path, strategy):
     """REAL 2-process run: coordinator + worker subprocesses each execute a
     full AL cycle (global-mesh DP training, sharded eval/scoring, host-side
     merges) on a shared synthetic VOC tree, and must produce identical
     histories. The executable analog of the reference's init_distributed_mode
-    + utils.all_gather wiring (utils.py:75-115,302-324)."""
+    + utils.all_gather wiring (utils.py:75-115,302-324).
+
+    strategy=ll4al additionally pins the JOINT task+LossNet step on the
+    global mesh (round-3: it previously ran N-times replicated)."""
     import os
     import socket
     import subprocess
@@ -107,7 +111,8 @@ def test_two_process_al_cycle(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
     outs = [str(tmp_path / f"out{i}.json") for i in range(2)]
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), str(port), str(root), outs[i]],
+        [sys.executable, worker, str(i), str(port), str(root), outs[i],
+         strategy],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
     logs = [p.communicate(timeout=1200)[0].decode() for p in procs]
