@@ -9,8 +9,8 @@ scipy JS (~3 img/s on one GPU is the generous estimate recorded in BASELINE.md);
 ``vs_baseline`` is measured-throughput / 3.0.
 
 Usage:
-    python bench.py                     # driver default: fast-scoring counts
-    python bench.py --rpn-post 0        # reference-faithful RPN 1000/1000
+    python bench.py                     # driver default: reference-faithful
+    python bench.py --fast              # opt-in fast-scoring counts (400/256)
     python bench.py --model retina
     python bench.py -b 16 --rpn-pre 400 --rpn-post 256
 
@@ -31,7 +31,7 @@ REFERENCE_IMG_PER_SEC = 3.0
 
 
 def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21,
-          model_name: str = "faster", rpn_pre: int = 400, rpn_post: int = 256):
+          model_name: str = "faster", rpn_pre: int = 0, rpn_post: int = 0):
     from cald_tpu.models import (
         fasterrcnn_resnet50_fpn_feature, retinanet_resnet50_fpn_cal,
     )
@@ -47,9 +47,9 @@ def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21,
                 ALConfig(model="retina", score_rpn_pre_nms=rpn_pre,
                          score_rpn_post_nms=rpn_post), model)
     else:
-        # defaults mirror the driver's fast-scoring counts (cli/config.py
-        # score_rpn_pre_nms/score_rpn_post_nms; training/eval keep 1000/1000);
-        # --rpn-post 0 scores with the reference-faithful model
+        # defaults mirror the driver's reference-faithful scoring (cli/
+        # config.py score_rpn_{pre,post}_nms = 0); --fast / --rpn-post N opt
+        # into the trimmed-candidate scoring model (deviation: EXPERIMENTS.md)
         kw = ({} if not rpn_post else
               dict(rpn_pre_nms_top_n_test=rpn_pre,
                    rpn_post_nms_top_n_test=rpn_post))
@@ -63,8 +63,8 @@ def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21,
 
 
 def run(batch_size: int = 32, iters: int = 10, canvas_hw=(640, 1024),
-        model_name: str = "faster", rpn_pre: int = 400,
-        rpn_post: int = 256) -> dict:
+        model_name: str = "faster", rpn_pre: int = 0,
+        rpn_post: int = 0) -> dict:
     score_fn, variables = build(batch_size, canvas_hw, model_name=model_name,
                                 rpn_pre=rpn_pre, rpn_post=rpn_post)
     h, w = canvas_hw
@@ -109,11 +109,15 @@ def main():
     p.add_argument("-b", "--batch", type=int, default=32)
     p.add_argument("--model", default="faster", choices=["faster", "retina"])
     p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--rpn-pre", type=int, default=400,
-                   help="fast-scoring RPN pre-NMS top-n (0 = faithful)")
-    p.add_argument("--rpn-post", type=int, default=256,
+    p.add_argument("--rpn-pre", type=int, default=0,
+                   help="fast-scoring RPN pre-NMS top-n (0 = faithful 1000)")
+    p.add_argument("--rpn-post", type=int, default=0,
                    help="fast-scoring RPN post-NMS top-n (0 = faithful 1000)")
+    p.add_argument("--fast", action="store_true",
+                   help="shorthand for --rpn-pre 400 --rpn-post 256")
     args = p.parse_args()
+    if args.fast and not args.rpn_post:
+        args.rpn_pre, args.rpn_post = 400, 256
     batch_size = args.batch_pos if args.batch_pos is not None else args.batch
     model_name = args.model_pos if args.model_pos is not None else args.model
     try:
@@ -130,8 +134,8 @@ def main():
             raise
     if model_name != "faster":
         result["metric"] += f"_{model_name}"
-    if not args.rpn_post:
-        result["metric"] += "_faithful"
+    if args.rpn_post:
+        result["metric"] += "_fast"
     print(json.dumps(result))
 
 

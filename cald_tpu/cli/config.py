@@ -49,12 +49,19 @@ class ALConfig:
     aspect_ratio_group_factor: int = 3
     # scoring
     score_batch_size: int = 16
-    # fast-scoring RPN candidate counts for the pool-scoring model only
-    # (training/eval keep the reference 1000/1000). Capped at the model's own
-    # counts; 0 disables -> reference-faithful scoring. PERF.md round 2: 2x
-    # scoring throughput at post=256/pre=400 with detections_per_img unchanged.
-    score_rpn_pre_nms: int = 400
-    score_rpn_post_nms: int = 256
+    # Fast-scoring RPN candidate counts for the pool-scoring model only
+    # (training/eval always keep the reference 1000/1000). 0 = OFF:
+    # reference-faithful scoring, the default. Setting e.g. 400/256 trims the
+    # scoring model's candidates for ~1.7x throughput, but the deviation study
+    # (EXPERIMENTS.md round 3) measured Spearman ~0.77 / selection Jaccard
+    # ~0.33 vs faithful scoring on a 512-image pool — a different selection,
+    # not a faster identical one — so the trim is an explicit opt-in.
+    score_rpn_pre_nms: int = 0
+    score_rpn_post_nms: int = 0
+    # Opt-in: detect shrink-resize augs on a smaller canvas slice (~10% less
+    # scoring compute); slightly shifts scores with trained norm biases
+    # (EXPERIMENTS.md deviation study).
+    score_shrink_slice: bool = False
     # infra
     workers: int = 8
     seed: int = 0
@@ -142,13 +149,19 @@ def make_parser() -> argparse.ArgumentParser:
                    default=3, type=int)
     p.add_argument("--score-batch-size", dest="score_batch_size", default=16,
                    type=int)
-    p.add_argument("--score-rpn-pre-nms", dest="score_rpn_pre_nms", default=400,
-                   type=int, help="RPN pre-NMS top-n for pool scoring "
-                                  "(0 = reference-faithful 1000)")
+    p.add_argument("--score-rpn-pre-nms", dest="score_rpn_pre_nms", default=0,
+                   type=int, help="RPN pre-NMS top-n for pool scoring; 0 "
+                                  "(default) = reference-faithful; e.g. 400 "
+                                  "trades selection fidelity for speed "
+                                  "(EXPERIMENTS.md deviation study)")
     p.add_argument("--score-rpn-post-nms", dest="score_rpn_post_nms",
-                   default=256, type=int,
-                   help="RPN post-NMS proposals for pool scoring "
-                        "(0 = reference-faithful 1000)")
+                   default=0, type=int,
+                   help="RPN post-NMS proposals for pool scoring; 0 (default)"
+                        " = reference-faithful; e.g. 256 = fast opt-in")
+    p.add_argument("--score-shrink-slice", dest="score_shrink_slice",
+                   action="store_true",
+                   help="detect shrink-resize augs on a sliced canvas "
+                        "(fast opt-in; see EXPERIMENTS.md)")
     p.add_argument("-j", "--workers", dest="workers", default=8, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--print-freq", dest="print_freq", default=20, type=int)

@@ -268,10 +268,12 @@ def _detect_host_fn(cfg: ALConfig, model, variables, canvases):
 
 
 def _scoring_model(cfg: ALConfig, model):
-    """Fast-scoring variant for the pool pass: smaller candidate counts
-    (capped at the model's own, so tiny/test configs are unchanged). Training
-    and eval always use the reference-faithful model; set
-    --score-rpn-{pre,post}-nms 0 to score with it too. PERF.md round 2.
+    """OPT-IN fast-scoring variant for the pool pass: smaller candidate
+    counts (capped at the model's own, so tiny/test configs are unchanged).
+    The default (score_rpn_{pre,post}_nms = 0) scores with the reference-
+    faithful model itself; passing e.g. --score-rpn-pre-nms 400
+    --score-rpn-post-nms 256 trades selection fidelity for ~1.7x throughput
+    (the deviation is quantified in EXPERIMENTS.md; PERF.md round 2/3).
 
     FRCNN: trims the RPN pre/post-NMS top-n. RetinaNet analog: trims the
     per-level ``topk_candidates`` (reference 1000, retinanet_cal.py:331) to
@@ -348,7 +350,8 @@ def score_and_select(cfg: ALConfig, model, state, dataset, pool: ALPoolState,
     if cfg.strategy == "cald":
         ccfg = CALDConfig(aug_names=tuple(expand_aug_string(cfg.augs)),
                           base_point=cfg.bp, mutual_range=cfg.mr,
-                          uniform=cfg.uniform, no_mutual=cfg.no_mutual)
+                          uniform=cfg.uniform, no_mutual=cfg.no_mutual,
+                          shrink_slice=cfg.score_shrink_slice)
         score_fn = strategy_state.setdefault(
             "cald_fn", make_cald_score_fn(_scoring_model(cfg, model), ccfg,
                                           cfg.num_classes))

@@ -42,6 +42,12 @@ class CALDConfig:
     no_mutual: bool = False
     k_ref: int = 50                   # subsample target (cald_train.py:111)
     subsample_threshold: int = 40     # subsample trigger (cald_train.py:110)
+    # Detect shrink-resize augs on a proportionally smaller canvas slice
+    # (~35% fewer FLOPs for that forward). Near-exact on zero-bias norms;
+    # with trained norm biases the coarse-level edge band shifts scores
+    # slightly (EXPERIMENTS.md deviation study quantifies it), so the
+    # reference-faithful default keeps the full canvas.
+    shrink_slice: bool = False
 
 
 def subsample_reference(boxes, scores, labels, scores_cls, prob_max, valid, *,
@@ -84,18 +90,21 @@ def make_cald_score_fn(model, cfg: CALDConfig, num_classes: int) -> Callable:
     """Returns jitted fn(variables, images, valid_hw, key) ->
     (consistency (B,), cls_corrs (B, num_classes-1)).
 
-    Shrink-resize augs detect on a proportionally smaller canvas: the scaled
-    content lives in the canvas's top-left corner, so slicing to
-    ceil64(ratio * canvas) before the detector drops only zero padding —
-    identical valid pixels, identical detections, ~35% fewer
-    backbone/RPN FLOPs for that forward (PERF.md round 3)."""
+    With ``cfg.shrink_slice`` (opt-in), shrink-resize augs detect on a
+    proportionally smaller canvas: the scaled content lives in the canvas's
+    top-left corner, so slicing to ceil64(ratio * canvas) before the detector
+    drops only zero padding — ~35% fewer backbone/RPN FLOPs for that forward
+    (PERF.md round 3). Exact when norm biases are zero; with trained biases
+    the coarse-level padding halo differs by canvas, shifting scores slightly
+    (EXPERIMENTS.md)."""
     aug_names = tuple(cfg.aug_names)
 
     def _detect_augs(variables, aug_images, aug_hw, b: int):
         """(B, A, H, W, 3) -> Detections stacked as (B, A, K, ...)."""
         a = aug_images.shape[1]
         h, w = aug_images.shape[2:4]
-        ratios = [_shrink_ratio(n) for n in aug_names]
+        ratios = [_shrink_ratio(n) if cfg.shrink_slice else None
+                  for n in aug_names]
         groups: dict = {}
         for i, r in enumerate(ratios):
             key_ = None

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import cald_tpu.strategies.cald as cald_mod
 from cald_tpu.engine.optim import make_sgd
 from cald_tpu.engine.state import create_train_state
 from cald_tpu.engine.train import make_train_step
@@ -145,21 +144,15 @@ def score_pool(variables, pool_imgs, pool_hw, *, rpn_pre, rpn_post,
     kw = (dict(rpn_pre_nms_top_n_test=rpn_pre, rpn_post_nms_top_n_test=rpn_post)
           if rpn_post else {})
     model = fasterrcnn_resnet50_fpn_feature(NUM_CLASSES, norm="group", **kw)
-    orig = cald_mod._shrink_ratio
-    if not shrink:
-        cald_mod._shrink_ratio = lambda name: None
-    try:
-        fn = make_cald_score_fn(model, CALDConfig(), NUM_CLASSES)
-        cs, corrs = [], []
-        for i in range(0, len(pool_imgs), score_batch):
-            c, corr = fn(variables, jnp.asarray(pool_imgs[i:i + score_batch]),
-                         jnp.asarray(pool_hw[i:i + score_batch]),
-                         jax.random.fold_in(key, i))
-            cs.append(np.asarray(c))
-            corrs.append(np.asarray(corr))
-        return np.concatenate(cs), np.concatenate(corrs, axis=0)
-    finally:
-        cald_mod._shrink_ratio = orig
+    fn = make_cald_score_fn(model, CALDConfig(shrink_slice=shrink), NUM_CLASSES)
+    cs, corrs = [], []
+    for i in range(0, len(pool_imgs), score_batch):
+        c, corr = fn(variables, jnp.asarray(pool_imgs[i:i + score_batch]),
+                     jnp.asarray(pool_hw[i:i + score_batch]),
+                     jax.random.fold_in(key, i))
+        cs.append(np.asarray(c))
+        corrs.append(np.asarray(corr))
+    return np.concatenate(cs), np.concatenate(corrs, axis=0)
 
 
 def main():
@@ -168,6 +161,8 @@ def main():
     ap.add_argument("--pool", type=int, default=512)
     ap.add_argument("--budget", type=int, default=50)
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first seed (resume a partial sweep)")
     ap.add_argument("--score-batch", type=int, default=32)
     args = ap.parse_args()
 
@@ -177,12 +172,13 @@ def main():
     n_cand = int(cfg.mutual_range * args.budget)
     configs = {
         "faithful": dict(rpn_pre=0, rpn_post=0, shrink=False),
+        "faithful+slice": dict(rpn_pre=0, rpn_post=0, shrink=True),
         "fast(400/256)": dict(rpn_pre=400, rpn_post=256, shrink=False),
         "fast+slice": dict(rpn_pre=400, rpn_post=256, shrink=True),
         "fast(400/128)": dict(rpn_pre=400, rpn_post=128, shrink=True),
     }
     summary = {k: [] for k in configs if k != "faithful"}
-    for seed in range(args.seeds):
+    for seed in range(args.seed_start, args.seeds):
         print(f"== seed {seed} ==", flush=True)
         variables = train_model(seed, args.steps)
         rng = np.random.default_rng(1000 + seed)

@@ -45,30 +45,36 @@ class TestConfig:
         assert (cfg.init_num, cfg.budget_num) == (1000, 1000)
 
     def test_scoring_model_variant(self):
-        """Fast-scoring counts apply to the pool-scoring model only, capped at
-        the model's own counts (PERF.md round 2)."""
+        """Fast-scoring counts are an opt-in (default 0 = reference-faithful,
+        EXPERIMENTS.md deviation study) and apply to the pool-scoring model
+        only, capped at the model's own counts (PERF.md round 2)."""
         from cald_tpu.cli.driver import _scoring_model, build_model
 
+        # default config = faithful: scoring model is the model itself
         cfg = ALConfig(model="faster").resolve()
+        assert (cfg.score_rpn_pre_nms, cfg.score_rpn_post_nms) == (0, 0)
         model, _ = build_model(cfg, 21)
-        fast = _scoring_model(cfg, model)
+        assert _scoring_model(cfg, model) is model
+        # opt-in trims the test-time counts; train untouched
+        fcfg = ALConfig(model="faster", score_rpn_pre_nms=400,
+                        score_rpn_post_nms=256).resolve()
+        fast = _scoring_model(fcfg, model)
         assert fast.cfg.rpn_pre_nms_top_n_test == 400
         assert fast.cfg.rpn_post_nms_top_n_test == 256
         assert fast.cfg.rpn_post_nms_top_n_train == 2000  # train untouched
         # tiny config already below the caps -> unchanged object
-        tiny_cfg = ALConfig(model="faster", tiny=True).resolve()
+        tiny_cfg = ALConfig(model="faster", tiny=True, score_rpn_pre_nms=400,
+                            score_rpn_post_nms=256).resolve()
         tiny, _ = build_model(tiny_cfg, 21)
         assert _scoring_model(tiny_cfg, tiny) is tiny
-        # 0 disables
-        off = ALConfig(model="faster", score_rpn_post_nms=0).resolve()
-        assert _scoring_model(off, model) is model
         # retinanet analog: per-level topk_candidates trimmed to the post count
-        rcfg = ALConfig(model="retina").resolve()
+        rcfg = ALConfig(model="retina", score_rpn_pre_nms=400,
+                        score_rpn_post_nms=256).resolve()
         rmodel, _ = build_model(rcfg, 21)
         rfast = _scoring_model(rcfg, rmodel)
         assert rfast.cfg.topk_candidates == 256
         assert rfast.cfg.detections_per_img == rmodel.cfg.detections_per_img
-        roff = ALConfig(model="retina", score_rpn_post_nms=0).resolve()
+        roff = ALConfig(model="retina").resolve()
         assert _scoring_model(roff, rmodel) is rmodel
 
     def test_parser_reference_flags(self):

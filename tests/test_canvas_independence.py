@@ -29,7 +29,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-import cald_tpu.strategies.cald as cald_mod
 from cald_tpu.models import FasterRCNN
 from cald_tpu.models.faster_rcnn import FasterRCNNConfig
 from cald_tpu.models.retinanet import RetinaNet, RetinaNetConfig
@@ -106,18 +105,16 @@ def test_retina_detect_is_canvas_independent():
     np.testing.assert_array_equal(d1.labels[v1], d2.labels[v2])
 
 
-def test_cald_shrink_slice_scoring_matches_full_canvas(frcnn_setup, monkeypatch):
-    """Scores through the sliced-canvas aug detect == the unsliced program
-    (nonzero norm biases; tight tolerance covers the documented edge band
-    at coarse levels)."""
+def test_cald_shrink_slice_scoring_matches_full_canvas(frcnn_setup):
+    """Scores through the sliced-canvas aug detect (shrink_slice=True opt-in)
+    == the unsliced default program (nonzero norm biases; tight tolerance
+    covers the documented edge band at coarse levels)."""
     model, variables, images, valid_hw = frcnn_setup
     variables = _perturb_norm_biases(variables)
-    cfg = CALDConfig()
-    fn = make_cald_score_fn(model, cfg, 6)
+    fn = make_cald_score_fn(model, CALDConfig(shrink_slice=True), 6)
     c1, corr1 = fn(variables, images, valid_hw, jax.random.key(1))
 
-    monkeypatch.setattr(cald_mod, "_shrink_ratio", lambda name: None)
-    fn2 = make_cald_score_fn(model, cfg, 6)
+    fn2 = make_cald_score_fn(model, CALDConfig(), 6)
     c2, corr2 = fn2(variables, images, valid_hw, jax.random.key(1))
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-3)
     np.testing.assert_allclose(np.asarray(corr1), np.asarray(corr2), atol=2e-3)
