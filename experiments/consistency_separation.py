@@ -138,6 +138,8 @@ def run(seed: int, tmp: str, *, pool_n: int, init_n: int, epochs: int,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first seed (resume an interrupted sweep)")
     ap.add_argument("--pool", type=int, default=400)
     ap.add_argument("--init", type=int, default=120)
     ap.add_argument("--epochs", type=int, default=16)
@@ -146,7 +148,7 @@ def main():
 
     rows = []
     with tempfile.TemporaryDirectory() as tmp:
-        for seed in range(args.seeds):
+        for seed in range(args.seed_start, args.seeds):
             row = run(seed, tmp, pool_n=args.pool, init_n=args.init,
                       epochs=args.epochs, budget=args.budget)
             rows.append(row)
