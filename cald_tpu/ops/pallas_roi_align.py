@@ -40,6 +40,7 @@ starts + pl.multiple_of), and col bucket sizes are multiples of 8.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,15 @@ def _buckets(limit: int) -> tuple:
     return (limit,)
 
 
+def _nslots() -> int:
+    """Window-DMA pipeline depth: how many roi windows can be in flight at
+    once. 2 = classic double buffering (one outstanding copy). Deeper values
+    keep nslots-1 copies outstanding — a lever against the per-roi DMA floor
+    if the DMA engine pipelines independent copies (PERF.md round 3).
+    Overridable for experiments via CALD_TPU_ROI_NSLOTS."""
+    return max(2, int(os.environ.get("CALD_TPU_ROI_NSLOTS", "2")))
+
+
 def _axis_weights(pos, base0, n_valid, inside, window, out_size, sr, dtype):
     """Pooled bilinear weights along one axis, relative to a window.
 
@@ -96,15 +106,17 @@ def _axis_weights(pos, base0, n_valid, inside, window, out_size, sr, dtype):
 
 def _roi_kernel(lvl_ref, y0_ref, x0_ref, rb_ref, cb_ref, *refs,
                 num_levels: int, c: int, win_h: int, span: int,
-                row_buckets: tuple, col_buckets: tuple):
-    """Double-buffered: step i waits for its own window (started at i-1) and
-    prefetches roi i+1's window into the other slot while it computes — the
-    stage runs at max(DMA, compute) instead of their sum."""
+                row_buckets: tuple, col_buckets: tuple, nslots: int = 2):
+    """Multi-slot round-robin window pipeline: step i waits for its own
+    window (started nslots-1 steps earlier) and starts roi i+nslots-1's
+    window into the slot roi i-1 just vacated, keeping up to nslots-1 copies
+    outstanding — the stage runs at max(DMA, compute) instead of their sum.
+    nslots=2 is classic double buffering."""
     fs = refs[:num_levels]
     wy_ref, wx_ref, out_ref, win2, sem2 = refs[num_levels:]
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    slot = jax.lax.rem(i, 2)
+    slot = jax.lax.rem(i, nslots)
 
     def window_dma(k, sl):
         """Guarded DMA starts/waits for roi k into slot sl (static branch per
@@ -129,11 +141,18 @@ def _roi_kernel(lvl_ref, y0_ref, x0_ref, rb_ref, cb_ref, *refs,
 
     @pl.when(i == 0)
     def _():
-        window_dma(i, slot)(lambda cp: cp.start())
+        # prime the pipeline: copies 0..nslots-2 (the steady-state rule below
+        # fires for copy nslots-1 at this same step)
+        for k in range(nslots - 1):
+            @pl.when(jnp.asarray(k, jnp.int32) < n)
+            def _(k=k):
+                window_dma(jnp.asarray(k, jnp.int32),
+                           jnp.asarray(k, jnp.int32))(lambda cp: cp.start())
 
-    @pl.when(i + 1 < n)
+    @pl.when(i + (nslots - 1) < n)
     def _():
-        window_dma(i + 1, 1 - slot)(lambda cp: cp.start())
+        j = i + (nslots - 1)
+        window_dma(j, jax.lax.rem(j, nslots))(lambda cp: cp.start())
 
     window_dma(i, slot)(lambda cp: cp.wait())
 
@@ -211,13 +230,14 @@ def _plan(feats, rois, spatial_scales, output_size: int, sampling_ratio: int,
     cb = _bucketize(need_c, col_buckets)
     # stale scratch beyond a small bucket is killed by zero interpolation
     # weights, but UNINITIALIZED VMEM can hold NaN bit patterns and 0 * NaN
-    # poisons the contraction — force the first TWO rois (the first write into
-    # each double-buffer slot) to the full-size bucket so their DMAs
+    # poisons the contraction — force the first nslots rois (the first write
+    # into each pipeline slot) to the full-size bucket so their DMAs
     # initialize the whole scratch windows with finite features.
     # (Applied BEFORE the start clamps below so the full windows stay in
     # bounds.)
-    rb = jnp.where(jnp.arange(rb.shape[0]) < 2, len(row_buckets) - 1, rb)
-    cb = jnp.where(jnp.arange(cb.shape[0]) < 2, len(col_buckets) - 1, cb)
+    ns = _nslots()
+    rb = jnp.where(jnp.arange(rb.shape[0]) < ns, len(row_buckets) - 1, rb)
+    cb = jnp.where(jnp.arange(cb.shape[0]) < ns, len(col_buckets) - 1, cb)
     rh = jnp.asarray(row_buckets, jnp.float32)[rb]
     cs = jnp.asarray(col_buckets, jnp.float32)[cb]
 
@@ -239,6 +259,7 @@ def _fwd_call(padded, levels, yw0, xw0, rb, cb, wy, wx, *, output_size: int,
               win_h: int, span: int):
     c = padded[0].shape[-1]
     r = levels.shape[0]
+    nslots = _nslots()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(r,),
@@ -247,17 +268,22 @@ def _fwd_call(padded, levels, yw0, xw0, rb, cb, wy, wx, *, output_size: int,
            pl.BlockSpec((1, output_size, span), lambda i, *_: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, output_size, output_size, c),
                                lambda i, *_: (i, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((2, win_h, span, c), padded[0].dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((nslots, win_h, span, c), padded[0].dtype),
+                        pltpu.SemaphoreType.DMA((nslots,))],
     )
+    extra = {}
+    if nslots > 2:  # deeper pipelines outgrow the 16 MB default scoped VMEM
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
     return pl.pallas_call(
         functools.partial(_roi_kernel, num_levels=len(padded), c=c,
                           win_h=win_h, span=span,
                           row_buckets=_buckets(win_h),
-                          col_buckets=_buckets(span)),
+                          col_buckets=_buckets(span), nslots=nslots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, output_size, output_size, c),
                                        jnp.float32),
+        **extra,
     )(levels, yw0, xw0, rb, cb, *padded, wy, wx)
 
 
