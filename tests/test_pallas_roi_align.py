@@ -56,6 +56,22 @@ def test_vmapped_over_batch(rng):
 
 
 @tpu_only
+@pytest.mark.parametrize("nslots", [4, 8])
+def test_deeper_dma_pipeline_parity(rng, nslots, monkeypatch):
+    """CALD_TPU_ROI_NSLOTS>2 keeps several window copies outstanding; the
+    schedule change must be invisible in the output."""
+    import cald_tpu.ops.pallas_roi_align as pra
+
+    monkeypatch.setenv("CALD_TPU_ROI_NSLOTS", str(nslots))
+    feats, scales = _pyramid(rng)
+    rois = _rois(rng, 96)
+    got = pra.pallas_multi_scale_roi_align(feats, rois, spatial_scales=scales)
+    monkeypatch.setenv("CALD_TPU_ROI_NSLOTS", "2")
+    ref = pra.pallas_multi_scale_roi_align(feats, rois, spatial_scales=scales)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+@tpu_only
 def test_extreme_aspect_rois_stay_finite(rng):
     """Beyond the window envelope the outermost samples clamp — values must
     stay finite and bounded (documented approximation tail)."""
