@@ -74,6 +74,11 @@ class ALConfig:
     # continues with cycle k's selection — bit-identical to an uninterrupted
     # run. Capability the reference lacks (its --skip loses the split, SURVEY §5).
     resume: str = ""
+    # Capture a jax.profiler trace (XLA device + host activity, viewable in
+    # TensorBoard/Perfetto) of the FIRST cycle into this directory — the
+    # TPU-native replacement for the reference's wall-clock MetricLogger
+    # timing (detection/utils.py:145-232; SURVEY §5 tracing plan).
+    profile_dir: str = ""
     eval_every_cycle: bool = True
     classwise: bool = False
     max_boxes: int = 64
@@ -173,6 +178,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="resume from a per-cycle checkpoint (output_dir/"
                         "cycle_k): restores pool+model+strategy state and "
                         "continues from that cycle's selection")
+    p.add_argument("--profile-dir", dest="profile_dir", default="",
+                   metavar="DIR",
+                   help="capture a jax.profiler trace of the first cycle "
+                        "(TensorBoard/Perfetto-viewable) into DIR")
     p.add_argument("--classwise", action="store_true",
                    help="per-class AP table in COCO eval (engine.py:221-254)")
     p.add_argument("--no-eval", dest="eval_every_cycle", action="store_false")

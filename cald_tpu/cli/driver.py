@@ -503,11 +503,17 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
         print(f"--resume: restored pool (labeled {len(pool.labeled)}) at "
               f"cycle {resume_cycle}")
 
+    profiling = profiled = False
     for cycle in range(cfg.cycles):
         if cycle < resume_cycle:
             history.append({"cycle": cycle, "resumed": True})
             continue
         t0 = time.time()
+        if cfg.profile_dir and not profiled and jax.process_index() == 0:
+            # the first executed cycle's device+host activity (train, eval,
+            # scoring, selection) in a TensorBoard/Perfetto trace — SURVEY §5
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = profiled = True
         print(f"=== cycle {cycle}: labeled {len(pool.labeled)}, "
               f"unlabeled {len(pool.unlabeled)} ===")
         first_ckpt = (os.path.join(cfg.first_checkpoint_path,
@@ -608,6 +614,10 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
                                       canvases, group_ids, cycle=cycle,
                                       strategy_state=strategy_state)
             pool = pool.select(np.asarray(chosen))
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profile trace written to {cfg.profile_dir}")
         import hashlib
 
         digest = hashlib.sha1(

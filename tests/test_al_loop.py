@@ -87,14 +87,17 @@ class TestConfig:
 
 @pytest.mark.slow
 class TestALLoop:
-    def test_cald_two_cycles(self, voc_root):
-        cfg = mini_cfg(voc_root)
+    def test_cald_two_cycles(self, voc_root, tmp_path):
+        cfg = mini_cfg(voc_root, profile_dir=str(tmp_path / "trace"))
         ds = get_voc2007(voc_root, "trainval")
         history = al_loop(cfg, datasets=(ds, ds))
         assert len(history) == 2
         # budget images were added after cycle 0
         assert history[0]["labeled"] == 4 + 3
         assert "mAP" in history[0]["eval"]
+        # --profile-dir captured a jax.profiler trace of cycle 0
+        traces = list((tmp_path / "trace").rglob("*.xplane.pb"))
+        assert traces, "no profiler trace written under --profile-dir"
 
     def test_random_strategy(self, voc_root):
         cfg = mini_cfg(voc_root, strategy="random", init_num=4, budget_num=3,
