@@ -60,6 +60,10 @@ def apply_variant(name: str):
             del orig
         elif part.startswith("tile"):
             t = int(part[4:])
+            # nms() pads candidates to a multiple of nms_mod.TILE before the
+            # suppression loop — keep the pad and the loop tile in sync or
+            # the floor-divided loop drops remainder tiles
+            nms_mod.TILE = t
             nms_mod._suppress = (
                 lambda sboxes, salive, thr, _t=t:
                 nms_mod._tiled_suppression(sboxes, salive, thr, tile=_t))
