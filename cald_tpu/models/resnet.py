@@ -92,23 +92,26 @@ class ResNetBackbone(nn.Module):
     norm: str = "frozen"
     dtype: object = None
 
-    def _fuse_gate(self) -> bool:
+    def _fuse_gate(self) -> str:
         """Fused Pallas bottleneck stages: frozen-norm TPU inference only (the
         fused path folds norms into weights and has no autodiff rule).
 
-        OPT-IN (CALD_TPU_PALLAS_BNECK=1): measured at parity-to-slightly-worse
-        vs XLA's convs on v5e (XLA convs run ~125 TFLOP/s and pipeline well;
-        the VMEM-resident win did not materialize — PERF.md round 2), so the
-        default stays on the XLA path. Kept as the scaffold for future
-        stage-in-one-kernel fusion.
+        OPT-IN via CALD_TPU_PALLAS_BNECK: "1" = per-block fusion (measured at
+        parity-to-slightly-worse vs XLA's convs on v5e — XLA convs run
+        ~125 TFLOP/s and pipeline well; the per-block VMEM win did not
+        materialize, PERF.md round 2); "stage" = stage-in-one-kernel fusion
+        (one pallas_call per stride-1 suffix, all inter-block activations
+        VMEM-resident — the round-2 backlog's remaining backbone lever).
+        Default "" keeps the XLA path.
         """
         import os
 
         import jax as _jax
 
-        return (self.norm == "frozen"
-                and _jax.default_backend() in ("tpu", "axon")
-                and os.environ.get("CALD_TPU_PALLAS_BNECK") == "1")
+        if (self.norm != "frozen"
+                or _jax.default_backend() not in ("tpu", "axon")):
+            return ""
+        return os.environ.get("CALD_TPU_PALLAS_BNECK", "")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *,
@@ -121,7 +124,7 @@ class ResNetBackbone(nn.Module):
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
-        fuse = allow_fused and self._fuse_gate()
+        fuse = self._fuse_gate() if allow_fused else ""
         feats = {}
         for stage, n_blocks in enumerate(self.blocks_per_stage):
             planes = w * (2 ** stage)
@@ -136,10 +139,13 @@ class ResNetBackbone(nn.Module):
             rest = blocks[1:]
             out = None
             if fuse and rest:
-                from cald_tpu.ops.pallas_bottleneck import maybe_fused_stage
+                from cald_tpu.ops.pallas_bottleneck import (
+                    maybe_fused_stage, maybe_fused_stage_deep)
 
                 folded = [blk(y, folded=True) for blk in rest]
-                out = maybe_fused_stage(y, folded)
+                fuse_fn = (maybe_fused_stage_deep if fuse == "stage"
+                           else maybe_fused_stage)
+                out = fuse_fn(y, folded)
             if out is None:
                 for blk in rest:
                     y = blk(y)

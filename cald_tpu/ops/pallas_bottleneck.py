@@ -173,6 +173,203 @@ def _fused_block(src, dst, w1, b1, w2, b2, w3, b3, *, th: int, tw: int):
     )(src, dst, w1, b1, w2, b2, w3, b3)
 
 
+# --------------- stage-in-one-kernel (deep fusion) ---------------
+#
+# One kernel invocation computes ALL stride-1 blocks of a stage per tile: the
+# tile is read once with a (d, 8)-halo, every inter-block activation lives as
+# an SSA value whose rows AND cols shrink by 2 per block (halo consumption),
+# and only the final interior is written back — HBM traffic drops from
+# 2 passes/block to 2 passes/stage-suffix. No scratch ping-pong, no garbage
+# regions: all slices are static and every consumed halo element is real data
+# (PERF.md round-2/3 backlog item 3, "stage-in-one-kernel, growing-halo
+# tiles"). Col halo is the fixed 8-per-side alignment pad, so d <= 8.
+
+
+_VMEM_BUDGET_DEEP = 36 * 1024 * 1024
+_VMEM_LIMIT_DEEP = 100 * 1024 * 1024
+
+
+def _pick_tiles_deep(h: int, w: int, c: int, p: int, d: int,
+                     itemsize: int = 2):
+    """Best-efficiency (TH, TW) dividing (h, w), TW % 8 == 0, whose
+    deep-fusion working set (haloed tile x2, f32 accumulators, all d blocks'
+    weights) fits the VMEM budget. Efficiency = interior/haloed tile area —
+    the fraction of per-block compute that isn't halo overhead."""
+    ws = [t for t in (256, 128, 64, 32, 16, 8) if w % t == 0]
+    hs = [t for t in (64, 40, 32, 20, 16, 10, 8, 5, 4, 2, 1) if h % t == 0]
+    best, best_eff = None, 0.0
+    for tw in ws:
+        for th in hs:
+            hh, wwid = th + 2 * d, tw + 16
+            xt = hh * wwid * c * itemsize
+            y1 = hh * wwid * p * itemsize
+            acc = hh * wwid * p * 4
+            oacc = hh * wwid * c * 4
+            out = th * tw * c * itemsize
+            wts = d * (2 * c * p + 9 * p * p) * itemsize
+            if 2 * xt + y1 + acc + oacc + 2 * out + wts > _VMEM_BUDGET_DEEP:
+                continue
+            eff = (th * tw) / (hh * wwid)
+            if eff > best_eff:
+                best, best_eff = (th, tw), eff
+    return (*best, best_eff) if best else None
+
+
+def _stage_kernel(src, w1s, b1s, w2s, b2s, w3s, b3s, out, xt2, ot2,
+                  rsem, wsem, *, th: int, tw: int, c: int, p: int, nh: int,
+                  nw: int, h: int, w: int, d: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    k = (b * nh + i) * nw + j
+    n = pl.num_programs(0) * nh * nw
+    slot = jax.lax.rem(k, 2)
+
+    def coords(kk):
+        jj = jax.lax.rem(kk, nw)
+        bi = jax.lax.div(kk, nw)
+        ii = jax.lax.rem(bi, nh)
+        bb = jax.lax.div(bi, nh)
+        return bb, ii * th, pl.multiple_of(jj * tw, 8)
+
+    def read_cp(kk, sl):
+        bb, r0, c0 = coords(kk)
+        return pltpu.make_async_copy(
+            src.at[bb, pl.ds(r0, th + 2 * d), pl.ds(c0, tw + 16), :],
+            xt2.at[sl], rsem.at[sl])
+
+    def write_cp(kk, sl):
+        bb, r0, c0 = coords(kk)
+        return pltpu.make_async_copy(
+            ot2.at[sl], out.at[bb, pl.ds(r0, th), pl.ds(c0, tw), :],
+            wsem.at[sl])
+
+    @pl.when(k == 0)
+    def _():
+        read_cp(k, slot).start()
+
+    @pl.when(k + 1 < n)
+    def _():
+        read_cp(k + 1, 1 - slot).start()
+
+    read_cp(k, slot).wait()
+
+    _, r0, c0 = coords(k)
+    prec = jax.lax.Precision.DEFAULT
+    x = xt2[slot]                                  # (th+2d, tw+16, c)
+    for blk in range(d):
+        rows = th + 2 * (d - blk)
+        width = tw + 16 - 2 * blk
+        # x spans padded coords rows [r0+blk, ...), cols [c0+blk, ...)
+        y1 = jax.lax.dot_general(
+            x.reshape(rows * width, c), w1s[blk], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        y1 = jnp.maximum(y1 + b1s[blk], 0.0).astype(x.dtype)
+        y1 = y1.reshape(rows, width, p)
+        # zero-'SAME' semantics: the biased 1x1 yields relu(b1) outside the
+        # image; taps must see 0 there (3-D int32 iotas for Mosaic)
+        rr = r0 + blk + jax.lax.broadcasted_iota(jnp.int32, (rows, width, p), 0)
+        cc = c0 + blk + jax.lax.broadcasted_iota(jnp.int32, (rows, width, p), 1)
+        inimg = (rr >= d) & (rr < d + h) & (cc >= 8) & (cc < 8 + w)
+        y1 = jnp.where(inimg, y1, jnp.zeros_like(y1))
+
+        ro, wo = rows - 2, width - 2
+        acc = jnp.zeros((ro * wo, p), jnp.float32)
+        for t in range(9):
+            dy, dx = divmod(t, 3)
+            win = y1[dy: dy + ro, dx: dx + wo, :].reshape(ro * wo, p)
+            acc = acc + jax.lax.dot_general(
+                win, w2s[blk, t], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        z = jnp.maximum(acc + b2s[blk], 0.0).astype(x.dtype)
+        o = jax.lax.dot_general(z, w3s[blk], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        ident = x[1: 1 + ro, 1: 1 + wo, :].reshape(ro * wo, c).astype(jnp.float32)
+        o = jnp.maximum(o + b3s[blk] + ident, 0.0)
+        x = o.astype(xt2.dtype).reshape(ro, wo, c)
+
+    # x: (th, tw+16-2d, c); the tile interior sits at col offset 8-d
+    @pl.when(k >= 2)
+    def _():
+        write_cp(k - 2, slot).wait()
+
+    ot2[slot] = x[:, 8 - d: 8 - d + tw, :]
+    write_cp(k, slot).start()
+
+    @pl.when(k == n - 1)
+    def _():
+        write_cp(k, slot).wait()
+
+    @pl.when((k == n - 1) & (n > 1))
+    def _():
+        write_cp(k - 1, 1 - slot).wait()
+
+
+def _stage_call(x, blocks, th: int, tw: int):
+    bsz, h, w, c = x.shape
+    p = blocks[0][0].shape[1]
+    d = len(blocks)
+    dt = x.dtype
+    src = jnp.pad(x, ((0, 0), (d, d), (8, 8), (0, 0)))
+    w1s = jnp.stack([blk[0] for blk in blocks]).astype(dt)
+    b1s = jnp.stack([blk[1].reshape(1, -1) for blk in blocks]).astype(jnp.float32)
+    w2s = jnp.stack([blk[2].reshape(9, p, p) for blk in blocks]).astype(dt)
+    b2s = jnp.stack([blk[3].reshape(1, -1) for blk in blocks]).astype(jnp.float32)
+    w3s = jnp.stack([blk[4] for blk in blocks]).astype(dt)
+    b3s = jnp.stack([blk[5].reshape(1, -1) for blk in blocks]).astype(jnp.float32)
+    nh, nw = h // th, w // tw
+    full = lambda a: pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim)
+    return pl.pallas_call(
+        functools.partial(_stage_kernel, th=th, tw=tw, c=c, p=p, nh=nh, nw=nw,
+                          h=h, w=w, d=d),
+        grid=(bsz, nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  full(w1s), full(b1s), full(w2s), full(b2s), full(w3s),
+                  full(b3s)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, c), dt),
+        scratch_shapes=[pltpu.VMEM((2, th + 2 * d, tw + 16, c), dt),
+                        pltpu.VMEM((2, th, tw, c), dt),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_DEEP),
+    )(src, w1s, b1s, w2s, b2s, w3s, b3s)
+
+
+def maybe_fused_stage_deep(x, blocks):
+    """Stage-in-one-kernel variant of ``maybe_fused_stage``: same folded-weight
+    tuples, one pallas_call per fusion GROUP. The group size is the largest
+    depth (<= 8, the col-halo bound) whose best tiling keeps >= 50% of the
+    per-block compute out of the halo — deep stages with fat channels (e.g.
+    stage4's 17 MB of weights) automatically split into shallower chained
+    groups rather than degrade to sliver tiles. Returns None when no tiling
+    exists (caller falls back to the XLA path)."""
+    if not blocks:
+        return None
+    d = len(blocks)
+    bsz, h, w, c = x.shape
+    p = blocks[0][0].shape[1]
+    pick = None
+    for g in range(min(d, 8), 0, -1):
+        t = _pick_tiles_deep(h, w, c, p, g, itemsize=x.dtype.itemsize)
+        if t is not None and (t[2] >= 0.5 or g == 1):
+            pick = (g, t[0], t[1])
+            break
+    if pick is None:
+        return None
+    g, th, tw = pick
+    out = x
+    for i in range(0, d, g):
+        grp = blocks[i: i + g]
+        if len(grp) != g:   # tail group: re-tile for the smaller depth
+            th, tw, _ = _pick_tiles_deep(h, w, c, p, len(grp),
+                                         itemsize=x.dtype.itemsize)
+        out = _stage_call(out, grp, th, tw)
+    return out
+
+
 def fold_frozen(kernel, scale, shift):
     """Fold a per-out-channel frozen-norm (y = conv(x) * scale + shift) into
     the conv kernel; returns (folded_kernel, bias)."""

@@ -32,18 +32,21 @@ def _blocks(rng, c, p, n):
 
 @tpu_only
 @pytest.mark.parametrize("h,w,c,p,n", [(32, 64, 256, 64, 2),
-                                       (16, 32, 512, 128, 3)])
-def test_fused_stage_matches_xla_chain(rng, h, w, c, p, n):
-    from cald_tpu.ops.pallas_bottleneck import maybe_fused_stage
+                                       (16, 32, 512, 128, 3),
+                                       (16, 32, 256, 64, 5)])
+@pytest.mark.parametrize("variant", ["block", "stage"])
+def test_fused_stage_matches_xla_chain(rng, h, w, c, p, n, variant):
+    from cald_tpu.ops.pallas_bottleneck import (maybe_fused_stage,
+                                                maybe_fused_stage_deep)
 
+    fuse_fn = maybe_fused_stage_deep if variant == "stage" else maybe_fused_stage
     x = jnp.asarray(rng.normal(0, 1, (2, h, w, c)).astype(np.float32))
     blocks = _blocks(rng, c, p, n)
 
     ref = x
     for blk in blocks:
         ref = _xla_block(ref, *blk)                      # f32 ground truth
-    got = jax.jit(lambda x: maybe_fused_stage(x.astype(jnp.bfloat16),
-                                              blocks))(x)
+    got = jax.jit(lambda x: fuse_fn(x.astype(jnp.bfloat16), blocks))(x)
     assert got is not None
     r, g = np.asarray(ref, np.float32), np.asarray(got, np.float32)
     # bf16 kernel vs f32 chain: mean-relative error must stay in the bf16
