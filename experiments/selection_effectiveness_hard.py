@@ -41,7 +41,7 @@ def hard_fraction(dataset, indices) -> float:
 
 
 def run(strategy: str, seed: int, tmp: str, *, cycles: int, pool_n: int,
-        epochs: int):
+        epochs: int, init_n: int = 50):
     train_root = make_hard_easy_voc(
         f"{tmp}/train_{seed}", num_images=pool_n, hard_frac=0.3,
         seed=100 + seed)
@@ -53,7 +53,7 @@ def run(strategy: str, seed: int, tmp: str, *, cycles: int, pool_n: int,
     cfg = ALConfig(
         dataset="voc2007", data_path=train_root, model="faster",
         strategy=strategy, tiny=True, norm="group", cycles=cycles,
-        epochs=epochs, batch_size=8, init_num=50, budget_num=50,
+        epochs=epochs, batch_size=8, init_num=init_n, budget_num=50,
         score_batch_size=16, workers=4, min_size=192, max_size=256,
         max_boxes=8, print_freq=100000, lr=0.005,
         lr_steps=(epochs - 4, epochs - 2), aspect_ratio_group_factor=0,
@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--cycles", type=int, default=3)
     ap.add_argument("--pool", type=int, default=400)
     ap.add_argument("--epochs", type=int, default=14)
+    ap.add_argument("--init", type=int, default=50,
+                    help="init labeled set (120 + --epochs 16 reproduces the "
+                         "mechanism-isolation operating point)")
     args = ap.parse_args()
 
     summary = {}
@@ -92,7 +95,8 @@ def main():
             per_seed = []
             for seed in range(args.seeds):
                 rows = run(strategy, seed, tmp, cycles=args.cycles,
-                           pool_n=args.pool, epochs=args.epochs)
+                           pool_n=args.pool, epochs=args.epochs,
+                           init_n=args.init)
                 per_seed.append(rows)
                 print(json.dumps({"strategy": strategy, "seed": seed,
                                   "rows": rows}), flush=True)
