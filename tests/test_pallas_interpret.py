@@ -54,6 +54,31 @@ def test_roi_align_interpret_parity(rng, monkeypatch, interpret_pallas, nslots):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_roi_align_backward_interpret_parity(rng, interpret_pallas):
+    """The custom_vjp scatter-windows backward vs autodiff of the points
+    path — the read-add-write window accumulation logic, CPU-covered."""
+    from cald_tpu.ops.pallas_roi_align import pallas_multi_scale_roi_align
+    from cald_tpu.ops.roi_align import multi_scale_roi_align
+
+    feats, scales = _pyramid(rng)
+    n = 16
+    cx = rng.uniform(60, 440, n)
+    cy = rng.uniform(50, 270, n)
+    sz = rng.uniform(20, 150, n)
+    ar = rng.uniform(0.5, 2.0, n)
+    w_, h_ = sz * np.sqrt(ar), sz / np.sqrt(ar)
+    rois = jnp.asarray(np.stack([cx - w_ / 2, cy - h_ / 2,
+                                 cx + w_ / 2, cy + h_ / 2], -1), jnp.float32)
+    cot = jnp.asarray(rng.normal(0, 1, (n, 7, 7, 128)), jnp.float32)
+    g_pal = jax.grad(lambda fs: jnp.sum(pallas_multi_scale_roi_align(
+        fs, rois, spatial_scales=scales) * cot))(tuple(feats))
+    g_pts = jax.grad(lambda fs: jnp.sum(multi_scale_roi_align(
+        list(fs), rois, spatial_scales=scales, method="points") * cot))(
+        tuple(feats))
+    for a, b in zip(g_pal, g_pts):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def _xla_block(x, w1, b1, w2, b2, w3, b3):
     conv = lambda t, k: jax.lax.conv_general_dilated(
         t, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
