@@ -28,8 +28,9 @@ from cald_tpu.data import (
 )
 from cald_tpu.data.transforms import random_horizontal_flip
 from cald_tpu.engine import (
-    create_train_state, evaluate, load_checkpoint, make_sgd, make_train_step,
-    multistep_with_warmup, peek_checkpoint, save_checkpoint, train_one_epoch,
+    create_train_state, evaluate, load_checkpoint, load_extra, make_sgd,
+    make_train_step, multistep_with_warmup, peek_checkpoint, save_checkpoint,
+    train_one_epoch,
 )
 from cald_tpu.engine.evaluate import run_inference
 from cald_tpu.engine.optim import RESNET_FROZEN_L3
@@ -520,11 +521,31 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
                                    f"{cfg.dataset}_{cfg.model}_1st")
                       if cfg.first_checkpoint_path else "")
         # resume restores the trained model and jumps straight to this cycle's
-        # selection; ll4al/vaal carry adversary/LossNet state that is NOT in
-        # the cycle checkpoint, so those strategies retrain the cycle instead
-        # (deterministic training on the restored pool -> identical history)
-        resuming_here = (cycle == resume_cycle
-                         and cfg.strategy not in ("ll4al", "vaal"))
+        # selection; ll4al/vaal adversary/LossNet carry-state is saved under
+        # the checkpoint's ``extra`` key, so those resume too. Checkpoints
+        # predating the key (no extra) fall back to deterministically
+        # retraining the cycle on the restored pool (identical history,
+        # 20 wasted epochs — the pre-round-4 behavior).
+        resuming_here = cycle == resume_cycle
+        if resuming_here and cfg.strategy in ("ll4al", "vaal"):
+            carry = load_extra(cfg.resume)
+            if not carry:
+                print(f"--resume: checkpoint lacks {cfg.strategy} carry-state "
+                      "(pre-round-4 format); retraining the cycle")
+                resuming_here = False
+            elif cfg.strategy == "ll4al":
+                from cald_tpu.engine.state import TrainState
+
+                strategy_state["ll_state"] = TrainState(
+                    step=jnp.zeros((), jnp.int32),
+                    params=jax.tree.map(jnp.asarray, carry["ll_params"]),
+                    frozen={}, opt_state=(), tx=None)
+            else:
+                trainer = _make_vaal_trainer(cfg, 1, cycle)
+                trainer.vae_params = jax.tree.map(jnp.asarray,
+                                                  carry["vaal_vae"])
+                trainer.d_params = jax.tree.map(jnp.asarray, carry["vaal_d"])
+                strategy_state["vaal"] = trainer
         if resuming_here:
             print(f"--resume: loading cycle checkpoint {cfg.resume}")
             state = _fresh_state(cfg, model, frozen_prefixes, train_ds, pool,
@@ -605,9 +626,15 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
             if "gamma" in strategy_state:   # SSM's adapted carry-state
                 meta["ssm_gamma"] = strategy_state["gamma"]
                 meta["ssm_clslambda"] = strategy_state["clslambda"]
+            extra: dict = {}
+            if "ll_state" in strategy_state:    # ll4al's trained LossNet
+                extra["ll_params"] = strategy_state["ll_state"].params
+            if "vaal" in strategy_state:        # VAAL's trained VAE + D
+                extra["vaal_vae"] = strategy_state["vaal"].vae_params
+                extra["vaal_d"] = strategy_state["vaal"].d_params
             save_checkpoint(os.path.join(cfg.output_dir, f"cycle_{cycle}"),
                             state, pool=pool, rng=jax.random.key(cfg.seed),
-                            meta=meta)
+                            meta=meta, extra=extra)
 
         if cycle < cfg.cycles - 1:
             chosen = score_and_select(cfg, model, state, train_ds, pool,

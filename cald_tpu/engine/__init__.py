@@ -14,8 +14,8 @@ from cald_tpu.engine.train import make_train_step, train_one_epoch
 from cald_tpu.engine.voc_eval import voc_ap, voc_eval_class, voc_evaluate_detections
 from cald_tpu.engine.coco_eval import coco_evaluate_detections
 from cald_tpu.engine.evaluate import evaluate, run_inference
-from cald_tpu.engine.checkpoint import (load_checkpoint, peek_checkpoint,
-                                         save_checkpoint)
+from cald_tpu.engine.checkpoint import (load_checkpoint, load_extra,
+                                         peek_checkpoint, save_checkpoint)
 from cald_tpu.engine.logging import MetricLogger, SmoothedValue
 
 __all__ = [
@@ -35,6 +35,7 @@ __all__ = [
     "run_inference",
     "save_checkpoint",
     "load_checkpoint",
+    "load_extra",
     "peek_checkpoint",
     "MetricLogger",
     "SmoothedValue",

@@ -21,8 +21,14 @@ from cald_tpu.engine.state import TrainState
 
 
 def save_checkpoint(path: str, state: TrainState, *, pool: ALPoolState | None = None,
-                    rng: jax.Array | None = None, meta: dict | None = None):
-    """Write a self-describing checkpoint directory at ``path``."""
+                    rng: jax.Array | None = None, meta: dict | None = None,
+                    extra: dict | None = None):
+    """Write a self-describing checkpoint directory at ``path``.
+
+    ``extra``: an arbitrary array pytree for strategy carry-state that lives
+    outside the task TrainState (LossNet params for ll4al, VAE+D params for
+    VAAL) so ``--resume`` covers every strategy, not just the task-model ones.
+    """
     payload: dict[str, Any] = {
         "params": state.params,
         "frozen": state.frozen,
@@ -35,6 +41,8 @@ def save_checkpoint(path: str, state: TrainState, *, pool: ALPoolState | None = 
         payload["rng"] = jax.random.key_data(rng)
     if meta:
         payload["meta"] = {k: np.asarray(v) for k, v in meta.items()}
+    if extra:
+        payload["extra"] = extra
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
@@ -52,6 +60,15 @@ def peek_checkpoint(path: str):
     rng = (jax.random.wrap_key_data(np.asarray(raw["rng"]))
            if "rng" in raw else None)
     return pool, rng, raw.get("meta", {})
+
+
+def load_extra(path: str) -> dict:
+    """Restore only the strategy carry-state pytree saved under ``extra``
+    (host numpy arrays; {} when the checkpoint predates the key)."""
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(path)
+    return raw.get("extra", {})
 
 
 def load_checkpoint(path: str, state: TrainState):
