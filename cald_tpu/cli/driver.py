@@ -600,10 +600,15 @@ def al_loop(cfg: ALConfig, *, datasets=None) -> list[dict]:
             loader0 = _loaders(cfg, train_ds, pool.labeled,
                                batch_size=cfg.batch_size, train=True,
                                canvases=canvases, group_ids=group_ids)
-            trainer = _make_vaal_trainer(cfg, max(len(loader0), 1), cycle)
+            trainer = _make_vaal_trainer(cfg, max(_sync_len(len(loader0)), 1),
+                                         cycle)
+            if jax.process_count() > 1 or jax.device_count() > 1:
+                trainer.place(*_mesh_hooks(train=True))
             for epoch in range(cfg.epochs):
                 _vaal_adversary_epoch(cfg, trainer, train_ds, pool, canvases,
                                       group_ids, cycle=cycle, epoch=epoch)
+            if jax.process_count() > 1:
+                trainer.localize()
             strategy_state["vaal"] = trainer
 
         stats = {}
@@ -735,25 +740,30 @@ def _vaal_adversary_epoch(cfg, trainer: VAALTrainer, dataset, pool, canvases,
                           group_ids, *, cycle: int, epoch: int):
     """One epoch of VAE+D training: len(labeled_loader) steps over shuffled
     labeled/unlabeled batches (vaal_train.py:99-148 runs this after every task
-    epoch; the unlabeled loader is cycled when shorter)."""
+    epoch; the unlabeled loader is cycled when shorter).
+
+    Runs on the global data mesh like the detector: per-process loader shards
+    stride both pools, the trainer's placed batches concatenate into global
+    256x256 arrays, and the globally-agreed step counts (_sync_len) keep the
+    collective steps in lockstep."""
     import itertools
 
     seed = cfg.seed + cycle * 1000 + epoch
     lab_loader = _loaders(cfg, dataset, pool.labeled,
                           batch_size=cfg.batch_size, train=True,
-                          canvases=canvases, group_ids=group_ids, seed=seed,
-                          shard=False)
+                          canvases=canvases, group_ids=group_ids, seed=seed)
     unlab_loader = _loaders(cfg, dataset, pool.unlabeled,
                             batch_size=cfg.batch_size, train=True,
                             canvases=canvases, group_ids=group_ids,
-                            seed=seed + 1, shard=False)
+                            seed=seed + 1)
     key = jax.random.fold_in(jax.random.key(cfg.seed + 31),
                              cycle * 1000 + epoch)
     vloss = dloss = float("nan")
-    unlab_iter = itertools.cycle(unlab_loader) if len(unlab_loader) else None
-    if unlab_iter is None:
+    n_lab = _sync_len(len(lab_loader))
+    if _sync_len(len(unlab_loader)) == 0:
         return
-    for bi, lb in enumerate(lab_loader):
+    unlab_iter = itertools.cycle(unlab_loader)
+    for bi, lb in enumerate(itertools.islice(iter(lab_loader), n_lab)):
         ub = next(unlab_iter)
         vloss, dloss = trainer.train_step(lb.images, ub.images,
                                           jax.random.fold_in(key, bi))
@@ -772,8 +782,10 @@ def _train_cycle_vaal(cfg, model, frozen_prefixes, dataset, pool, canvases,
     step_fn = make_train_step(model)
     loader0 = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
                        train=True, canvases=canvases, group_ids=group_ids,
-                       seed=cfg.seed + cycle, shard=False)
-    trainer = _make_vaal_trainer(cfg, max(len(loader0), 1), cycle)
+                       seed=cfg.seed + cycle)
+    trainer = _make_vaal_trainer(cfg, max(_sync_len(len(loader0)), 1), cycle)
+    if jax.process_count() > 1 or jax.device_count() > 1:
+        trainer.place(put_batch, put_state)
     for epoch in range(cfg.epochs):
         loader = _loaders(cfg, dataset, pool.labeled, batch_size=cfg.batch_size,
                           train=True, canvases=canvases, group_ids=group_ids,
@@ -784,4 +796,6 @@ def _train_cycle_vaal(cfg, model, frozen_prefixes, dataset, pool, canvases,
             epoch=epoch, cycle=cycle, print_freq=cfg.print_freq)
         _vaal_adversary_epoch(cfg, trainer, dataset, pool, canvases, group_ids,
                               cycle=cycle, epoch=epoch)
+    if jax.process_count() > 1:
+        trainer.localize()
     return state, trainer

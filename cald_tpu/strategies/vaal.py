@@ -67,6 +67,30 @@ class VAALTrainer:
         self.vae_opt = self.vae_tx.init(self.vae_params)
         self.d_opt = self.d_tx.init(self.d_params)
         self._step = jax.jit(self._make_step())
+        self._put_batch = None
+
+    def place(self, put_batch, put_state) -> None:
+        """Move the adversary onto the global data mesh (the driver's
+        _mesh_hooks): params/opt replicated, each train_step's resized batches
+        assembled into global batch-sharded arrays, so the jitted step's batch
+        means give XLA the gradient all-reduce — the same DDP story as the
+        detector (SURVEY §2.7-2.8). The reference trains its VAE+D on one GPU
+        (vaal_train.py:99-148); process-replicated training was the round-3
+        fallback this replaces."""
+        (self.vae_params, self.d_params, self.vae_opt, self.d_opt) = put_state(
+            (self.vae_params, self.d_params, self.vae_opt, self.d_opt))
+        self._put_batch = put_batch
+
+    def localize(self) -> None:
+        """Pull globally-replicated params/opt back to host numpy so the
+        process-local scoring pass (unlabeled_scores over each process's pool
+        shard) and checkpointing can consume them."""
+        from cald_tpu.parallel import to_host_local
+
+        (self.vae_params, self.d_params, self.vae_opt, self.d_opt) = (
+            to_host_local((self.vae_params, self.d_params, self.vae_opt,
+                           self.d_opt)))
+        self._put_batch = None
 
     def _make_step(self):
         vae, disc = self.vae, self.disc
@@ -115,6 +139,11 @@ class VAALTrainer:
                    key) -> tuple[float, float]:
         lab = resize_for_vaal(jnp.asarray(labeled_images), self.image_size)
         unlab = resize_for_vaal(jnp.asarray(unlabeled_images), self.image_size)
+        if self._put_batch is not None:
+            # resize first: per-process canvas shapes differ, the fixed
+            # 256x256 VAAL shape is what makes the global concat legal
+            lab = self._put_batch(np.asarray(lab))
+            unlab = self._put_batch(np.asarray(unlab))
         (self.vae_params, self.d_params, self.vae_opt, self.d_opt,
          vloss, dloss) = self._step(self.vae_params, self.d_params,
                                     self.vae_opt, self.d_opt, lab, unlab, key)

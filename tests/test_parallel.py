@@ -82,7 +82,7 @@ class TestSingleProcessHelpers:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("strategy", ["cald", "ll4al"])
+@pytest.mark.parametrize("strategy", ["cald", "ll4al", "vaal"])
 def test_two_process_al_cycle(tmp_path, strategy):
     """REAL 2-process run: coordinator + worker subprocesses each execute a
     full AL cycle (global-mesh DP training, sharded eval/scoring, host-side
@@ -91,7 +91,9 @@ def test_two_process_al_cycle(tmp_path, strategy):
     + utils.all_gather wiring (utils.py:75-115,302-324).
 
     strategy=ll4al additionally pins the JOINT task+LossNet step on the
-    global mesh (round-3: it previously ran N-times replicated)."""
+    global mesh (round-3: it previously ran N-times replicated); strategy=vaal
+    likewise pins the VAE+D adversary steps on the global mesh (round-4: the
+    last process-replicated trainer)."""
     import os
     import socket
     import subprocess
@@ -115,7 +117,10 @@ def test_two_process_al_cycle(tmp_path, strategy):
          strategy],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
-    logs = [p.communicate(timeout=1200)[0].decode() for p in procs]
+    # 2400s: the 1-core box spends minutes per XLA compile (the task step
+    # alone takes ~3 min under load); vaal additionally compiles the VAE+D
+    # adversary step. Measured: cald/ll4al ~6-8 min, vaal ~15+ min cold.
+    logs = [p.communicate(timeout=2400)[0].decode() for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-4000:]
 
