@@ -75,8 +75,33 @@ def _nslots() -> int:
     once. 2 = classic double buffering (one outstanding copy). Deeper values
     keep nslots-1 copies outstanding — a lever against the per-roi DMA floor
     if the DMA engine pipelines independent copies (PERF.md round 3).
-    Overridable for experiments via CALD_TPU_ROI_NSLOTS."""
+    Overridable for experiments via CALD_TPU_ROI_NSLOTS. Round-4 sweep:
+    2 -> 3.81 us/roi, 4 -> 4.01, 8 -> 4.07 — copies do NOT pipeline past one
+    outstanding on this chip; 2 stays the default."""
     return max(2, int(os.environ.get("CALD_TPU_ROI_NSLOTS", "2")))
+
+
+def _group() -> int:
+    """Rois per grid step for the grouped-matmul forward (0 = per-roi kernel).
+
+    The round-3 campaign measured the per-roi kernel's ~3.5-4 us/roi floor as
+    two OVERLAPPED costs — window-DMA bytes (~1.08 MB/roi at the 44x48
+    envelope ~= the chip's ~263 GB/s) and per-step compute overhead (thin M=7
+    interpolation matmuls + a 540k-element relayout) — which is why halving
+    either side alone measured neutral (PERF.md round 3). The grouped kernel
+    attacks both at once: levels are stored as flat 2D (H, W*C) memrefs so
+    windows arrive matmul-ready (no in-kernel relayout; col starts become
+    lane-granular so size buckets shrink DMA bytes without the W-tile-8
+    constraint), and g rois share one pair of block-diagonal interpolation
+    dot_generals (M=7g), amortizing the per-matmul issue cost."""
+    return int(os.environ.get("CALD_TPU_ROI_GROUP", "0") or 0)
+
+
+def _group_hi_prec() -> bool:
+    """Grouped-kernel matmul precision: f32/HIGHEST (points-path-exact, like
+    the per-roi kernel) vs bf16/DEFAULT (CALD_TPU_ROI_GROUP_PREC=bf16;
+    round-3 measured bf16-without-upcast as score-parity-neutral)."""
+    return os.environ.get("CALD_TPU_ROI_GROUP_PREC", "hi") != "bf16"
 
 
 def _axis_weights(pos, base0, n_valid, inside, window, out_size, sr, dtype):
@@ -287,6 +312,225 @@ def _fwd_call(padded, levels, yw0, xw0, rb, cb, wy, wx, *, output_size: int,
     )(levels, yw0, xw0, rb, cb, *padded, wy, wx)
 
 
+# ---------------------------------------------------------------------------
+# Grouped-matmul forward (opt-in via CALD_TPU_ROI_GROUP, see _group()).
+# ---------------------------------------------------------------------------
+
+_GROUP_ROWS_ENV = 56          # row envelope: win_h (<=48) + <=7 8-align slack
+_GROUP_ROW_BUCKETS = (24, 40, _GROUP_ROWS_ENV)
+
+
+def _roi_group_kernel(lvl_ref, y0_ref, x0c_ref, rb_ref, cb_ref, *refs,
+                      num_levels: int, c: int, g: int, rows_env: int,
+                      span: int, row_buckets: tuple, col_buckets: tuple,
+                      nslots: int, hi_prec: bool):
+    """g rois per grid step over FLAT 2D levels (H_l, W_l*C).
+
+    Step i waits for its g window copies (row bands j*rows_env of its slot)
+    and starts step i+nslots-1's g copies; the whole slot band then feeds ONE
+    block-diagonal y-contraction (g*7, g*rows_env) @ (g*rows_env, span*c) and
+    one block-diagonal x-contraction (g*7, g*span) @ (g*span, 7*c). Bucketed
+    extents leave stale scratch outside a roi's window; the zero interpolation
+    weights there kill it (the host plan forces the first nslots*g rois to the
+    full envelope so every band starts NaN-free, as in the per-roi kernel)."""
+    fs = refs[:num_levels]
+    wyb_ref, wxb_ref, out_ref, win2, sem2 = refs[num_levels:]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, nslots)
+
+    def window_dma(step, sl):
+        def do(op):
+            for j in range(g):
+                k = step * g + j
+                lvl = lvl_ref[k]
+                y0 = pl.multiple_of(y0_ref[k], 8)   # host 8-aligns row starts
+                x0c = pl.multiple_of(x0c_ref[k], 128)  # x0*c; c % 128 == 0
+                rb = rb_ref[k]
+                cb = cb_ref[k]
+                for l in range(num_levels):
+                    for bi, rh in enumerate(row_buckets):
+                        for bj, cw in enumerate(col_buckets):
+                            @pl.when((lvl == l) & (rb == bi) & (cb == bj))
+                            def _(l=l, rh=rh, cw=cw, j=j):
+                                op(pltpu.make_async_copy(
+                                    fs[l].at[pl.ds(y0, rh),
+                                             pl.ds(x0c, cw * c)],
+                                    win2.at[sl, pl.ds(j * rows_env, rh),
+                                            pl.ds(0, cw * c)],
+                                    sem2.at[sl, j]))
+        return do
+
+    @pl.when(i == 0)
+    def _():
+        for s in range(nslots - 1):
+            @pl.when(jnp.asarray(s, jnp.int32) < n)
+            def _(s=s):
+                window_dma(jnp.asarray(s, jnp.int32),
+                           jnp.asarray(s, jnp.int32))(lambda cp: cp.start())
+
+    @pl.when(i + (nslots - 1) < n)
+    def _():
+        j = i + (nslots - 1)
+        window_dma(j, jax.lax.rem(j, nslots))(lambda cp: cp.start())
+
+    window_dma(i, slot)(lambda cp: cp.wait())
+
+    w = win2[slot]                                  # (g*rows_env, span*c)
+    wy = wyb_ref[0]                                 # (g*7, g*rows_env)
+    wx = wxb_ref[0]                                 # (g*7, g*span)
+    if hi_prec:
+        w = w.astype(jnp.float32)
+        wy = wy.astype(jnp.float32)
+        wx = wx.astype(jnp.float32)
+        prec = jax.lax.Precision.HIGHEST
+    else:
+        prec = jax.lax.Precision.DEFAULT
+    o = wy.shape[0] // g
+    t = jax.lax.dot_general(wy, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)         # (g*7, span*c)
+    # regroup for the x contraction: (g*7, span*c) -> (g*span, 7*c)
+    t2 = t.reshape(g, o, span, c).transpose(0, 2, 1, 3).reshape(g * span,
+                                                                o * c)
+    if not hi_prec:
+        t2 = t2.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(wx, t2, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=prec)       # (g*7_x, 7_y*c)
+    out_ref[...] = out.reshape(g, o, o, c).transpose(0, 2, 1, 3)
+
+
+def _block_diag(w, g):
+    """(R, o, win) per-roi weights -> (R/g, g*o, g*win) block-diagonal."""
+    r, o, win = w.shape
+    eye = jnp.eye(g, dtype=w.dtype)
+    blk = jnp.einsum("sjab,jk->sjakb", w.reshape(r // g, g, o, win), eye)
+    return blk.reshape(r // g, g * o, g * win)
+
+
+def _plan_grouped(feats, rois, spatial_scales, output_size: int,
+                  sampling_ratio: int, span: int, g: int, nslots: int):
+    """Grouped-forward prolog: flat 2D levels, 8-aligned row starts,
+    lane-granular col starts, 3x3 size buckets, block-diagonal weights."""
+    import math
+
+    rows_env = _GROUP_ROWS_ENV
+    row_buckets = _GROUP_ROW_BUCKETS
+    col_buckets = (16, 32, span)
+    c = feats[0].shape[-1]
+    s = output_size * sampling_ratio
+    k_min = int(round(-math.log2(spatial_scales[0])))
+    k_max = int(round(-math.log2(spatial_scales[-1])))
+    levels = jnp.clip(fpn_level_assignment(rois, k_min=k_min, k_max=k_max),
+                      0, len(feats) - 1)
+
+    hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)
+    ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
+    pad8 = lambda v: -(-v // 8) * 8
+    padded = [jnp.pad(f, ((0, max(pad8(f.shape[0]), rows_env) - f.shape[0]),
+                          (0, max(f.shape[1], span) - f.shape[1]), (0, 0)))
+              for f in feats]
+    # flat layout: W and C merge into the lane dim, so windows arrive in VMEM
+    # already shaped for the y-contraction and col starts are lane-granular
+    flat = [p.reshape(p.shape[0], p.shape[1] * c) for p in padded]
+    hs_pad = jnp.asarray([p.shape[0] for p in padded], jnp.float32)
+    ws_pad = jnp.asarray([p.shape[1] for p in padded], jnp.float32)
+    scale = jnp.asarray(list(spatial_scales), jnp.float32)[levels]
+    h_l = hs[levels]
+    w_l = ws[levels]
+
+    x1 = rois[:, 0] * scale
+    y1 = rois[:, 1] * scale
+    roi_w = jnp.maximum(rois[:, 2] * scale - x1, 1.0)
+    roi_h = jnp.maximum(rois[:, 3] * scale - y1, 1.0)
+    steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / sampling_ratio
+    ys = y1[:, None] + steps[None] * (roi_h / output_size)[:, None]
+    xs = x1[:, None] + steps[None] * (roi_w / output_size)[:, None]
+    in_y = (ys >= -1.0) & (ys <= h_l[:, None])
+    in_x = (xs >= -1.0) & (xs <= w_l[:, None])
+    y = jnp.clip(ys, 0.0, h_l[:, None] - 1.0)
+    x = jnp.clip(xs, 0.0, w_l[:, None] - 1.0)
+
+    y0a = (jnp.floor(y[:, 0]) // 8) * 8             # rows are the sublane dim
+    x0a = jnp.floor(x[:, 0])                        # lane-granular
+    need_r = jnp.floor(y[:, -1]) + 2.0 - y0a
+    need_c = jnp.floor(x[:, -1]) + 2.0 - x0a
+    rb = _bucketize(need_r, row_buckets)
+    cb = _bucketize(need_c, col_buckets)
+    # first nslots*g rois initialize every (slot, band) scratch region with a
+    # full-envelope DMA (stale-VMEM NaN guard, as in the per-roi kernel)
+    init_n = nslots * g
+    rb = jnp.where(jnp.arange(rb.shape[0]) < init_n, len(row_buckets) - 1, rb)
+    cb = jnp.where(jnp.arange(cb.shape[0]) < init_n, len(col_buckets) - 1, cb)
+    rh = jnp.asarray(row_buckets, jnp.float32)[rb]
+    cw = jnp.asarray(col_buckets, jnp.float32)[cb]
+    # clamps keep the bucket window inside the padded level; hs_pad and the
+    # row buckets are multiples of 8, so row starts stay 8-aligned
+    yw0 = jnp.clip(y0a, 0, jnp.maximum(hs_pad[levels] - rh, 0)).astype(jnp.int32)
+    xw0 = jnp.clip(x0a, 0, jnp.maximum(ws_pad[levels] - cw, 0)).astype(jnp.int32)
+
+    wy = _axis_weights(y, yw0, h_l, in_y, rows_env, output_size,
+                       sampling_ratio, jnp.float32)
+    wx = _axis_weights(x, xw0, w_l, in_x, span, output_size, sampling_ratio,
+                       jnp.float32)
+
+    r = rois.shape[0]
+    r_pad = -(-r // g) * g
+    if r_pad != r:
+        pad = r_pad - r
+        levels = jnp.pad(levels, (0, pad))
+        yw0 = jnp.pad(yw0, (0, pad))
+        xw0 = jnp.pad(xw0, (0, pad))
+        rb = jnp.pad(rb, (0, pad))                  # smallest bucket; zero
+        cb = jnp.pad(cb, (0, pad))                  # weights null the output
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+
+    wdt = jnp.float32 if _group_hi_prec() else jnp.bfloat16
+    wy_blk = _block_diag(wy.astype(wdt), g)
+    wx_blk = _block_diag(wx.astype(wdt), g)
+    return (flat, levels.astype(jnp.int32), yw0, xw0 * c, rb, cb,
+            wy_blk, wx_blk, rows_env, row_buckets, col_buckets)
+
+
+def _fwd_call_grouped(feats, rois, spatial_scales, output_size: int,
+                      sampling_ratio: int, span: int):
+    g = _group()
+    nslots = 2
+    (flat, levels, y0, x0c, rb, cb, wy_blk, wx_blk, rows_env, row_buckets,
+     col_buckets) = _plan_grouped(feats, rois, spatial_scales, output_size,
+                                  sampling_ratio, span, g, nslots)
+    c = feats[0].shape[-1]
+    n_steps = wy_blk.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in flat]
+        + [pl.BlockSpec((1, g * output_size, g * rows_env),
+                        lambda i, *_: (i, 0, 0)),
+           pl.BlockSpec((1, g * output_size, g * span),
+                        lambda i, *_: (i, 0, 0))],
+        out_specs=pl.BlockSpec((g, output_size, output_size, c),
+                               lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nslots, g * rows_env, span * c),
+                                   flat[0].dtype),
+                        pltpu.SemaphoreType.DMA((nslots, g))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_roi_group_kernel, num_levels=len(flat), c=c, g=g,
+                          rows_env=rows_env, span=span,
+                          row_buckets=row_buckets, col_buckets=col_buckets,
+                          nslots=nslots, hi_prec=_group_hi_prec()),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_steps * g, output_size, output_size, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(levels, y0, x0c, rb, cb, *flat, wy_blk, wx_blk)
+    return out[:rois.shape[0]]
+
+
 def _roi_bwd_kernel(lvl_ref, y0_ref, x0_ref, rb_ref, cb_ref, *refs,
                     num_levels: int, c: int, win_h: int, span: int,
                     row_buckets: tuple, col_buckets: tuple):
@@ -373,23 +617,38 @@ def _bwd_call(g, padded_shapes, levels, yw0, xw0, rb, cb, wy, wx, *,
     )(levels, yw0, xw0, rb, cb, *zeros, g, wy, wx)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _roi_align_cv(feats, rois, spatial_scales, output_size, sampling_ratio,
-                  window, meta):
-    del meta
+def _forward(feats, rois, spatial_scales, output_size, sampling_ratio,
+             window):
+    """Primal forward: grouped kernel when CALD_TPU_ROI_GROUP is set (and the
+    roi count justifies a group), per-roi window-DMA kernel otherwise."""
+    g = _group()
+    if g > 1 and rois.shape[0] >= 2 * 2 * g:   # init trick needs nslots*g rois
+        return _fwd_call_grouped(feats, rois, spatial_scales, output_size,
+                                 sampling_ratio, window[1])
     padded, levels, yw0, xw0, rb, cb, wy, wx = _plan(
         feats, rois, spatial_scales, output_size, sampling_ratio, *window)
     return _fwd_call(padded, levels, yw0, xw0, rb, cb, wy, wx,
                      output_size=output_size, win_h=window[0], span=window[1])
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _roi_align_cv(feats, rois, spatial_scales, output_size, sampling_ratio,
+                  window, meta):
+    del meta
+    return _forward(feats, rois, spatial_scales, output_size, sampling_ratio,
+                    window)
+
+
 def _roi_align_cv_fwd(feats, rois, spatial_scales, output_size, sampling_ratio,
                       window, meta):
     del meta
-    padded, levels, yw0, xw0, rb, cb, wy, wx = _plan(
+    out = _forward(feats, rois, spatial_scales, output_size, sampling_ratio,
+                   window)
+    # residuals always come from the standard per-roi plan: the grouped and
+    # per-roi forwards compute the same function (fp-level parity), so the
+    # scatter-windows backward stays valid for both
+    _, levels, yw0, xw0, rb, cb, wy, wx = _plan(
         feats, rois, spatial_scales, output_size, sampling_ratio, *window)
-    out = _fwd_call(padded, levels, yw0, xw0, rb, cb, wy, wx,
-                    output_size=output_size, win_h=window[0], span=window[1])
     return out, (levels, yw0, xw0, rb, cb, wy, wx)
 
 

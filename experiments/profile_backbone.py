@@ -66,15 +66,21 @@ def main():
     def full_detect(v, im, hw):
         return reduce_det(model.apply(v, im, hw, method="detect"))
 
-    # parity: fused pyramid vs the exact-XLA pyramid, same process
-    def feats_pair(m, im, hw):
-        fu = m._features(im, hw, allow_fused=True)
-        xl = m._features(im, hw, allow_fused=False)
-        return jnp.max(jnp.stack([
-            jnp.max(jnp.abs(a.astype(jnp.float32) - c.astype(jnp.float32)))
-            for a, c in zip(fu, xl)]))
-    err = float(jax.jit(lambda v, im, hw: model.apply(
-        v, im, hw, method=feats_pair))(variables, images[:2], valid_hw[:2]))
+    # parity: fused pyramid vs the exact-XLA pyramid, same process. The
+    # dual-backbone program is compile-heavy (the stage-deep Mosaic variant
+    # SIGKILLed the remote compile helper, round 4); SKIP_PARITY=1 relies on
+    # tests/test_pallas_bottleneck.py instead and measures timing only.
+    if os.environ.get("SKIP_PARITY") == "1":
+        err = float("nan")
+    else:
+        def feats_pair(m, im, hw):
+            fu = m._features(im, hw, allow_fused=True)
+            xl = m._features(im, hw, allow_fused=False)
+            return jnp.max(jnp.stack([
+                jnp.max(jnp.abs(a.astype(jnp.float32) - c.astype(jnp.float32)))
+                for a, c in zip(fu, xl)]))
+        err = float(jax.jit(lambda v, im, hw: model.apply(
+            v, im, hw, method=feats_pair))(variables, images[:2], valid_hw[:2]))
 
     t_b = timeit(backbone, (variables, images, valid_hw)) * 1000 / b
     t_d = timeit(full_detect, (variables, images, valid_hw)) * 1000 / b

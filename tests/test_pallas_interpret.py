@@ -103,3 +103,58 @@ def test_fused_stage_deep_interpret_parity(rng, interpret_pallas):
     assert got is not None
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("g,prec", [(2, "hi"), (4, "hi"), (4, "bf16")])
+def test_roi_align_grouped_interpret_parity(rng, monkeypatch, interpret_pallas,
+                                            g, prec):
+    """CALD_TPU_ROI_GROUP=g runs the block-diagonal grouped-matmul forward
+    (flat 2D levels, lane-granular size buckets). hi prec must match the
+    points path exactly; bf16 within bf16-class tolerance. Roi count chosen
+    to exercise the pad-to-multiple-of-g tail."""
+    from cald_tpu.ops.pallas_roi_align import pallas_multi_scale_roi_align
+    from cald_tpu.ops.roi_align import multi_scale_roi_align
+
+    monkeypatch.setenv("CALD_TPU_ROI_GROUP", str(g))
+    monkeypatch.setenv("CALD_TPU_ROI_GROUP_PREC", prec)
+    feats, scales = _pyramid(rng)
+    n = 19
+    cx = rng.uniform(60, 440, n)
+    cy = rng.uniform(50, 270, n)
+    sz = rng.uniform(20, 150, n)
+    ar = rng.uniform(0.5, 2.0, n)
+    w_, h_ = sz * np.sqrt(ar), sz / np.sqrt(ar)
+    rois = jnp.asarray(np.stack([cx - w_ / 2, cy - h_ / 2,
+                                 cx + w_ / 2, cy + h_ / 2], -1), jnp.float32)
+    ref = multi_scale_roi_align(feats, rois, spatial_scales=scales,
+                                method="points")
+    got = pallas_multi_scale_roi_align(feats, rois, spatial_scales=scales)
+    atol = 1e-4 if prec == "hi" else 5e-2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=atol)
+
+
+def test_roi_align_grouped_backward_uses_standard_plan(rng, monkeypatch,
+                                                       interpret_pallas):
+    """Gradients through the grouped forward must match the points path: the
+    custom_vjp backward always runs the standard scatter-windows plan."""
+    from cald_tpu.ops.pallas_roi_align import pallas_multi_scale_roi_align
+    from cald_tpu.ops.roi_align import multi_scale_roi_align
+
+    monkeypatch.setenv("CALD_TPU_ROI_GROUP", "4")
+    feats, scales = _pyramid(rng)
+    n = 16
+    cx = rng.uniform(60, 440, n)
+    cy = rng.uniform(50, 270, n)
+    sz = rng.uniform(20, 150, n)
+    ar = rng.uniform(0.5, 2.0, n)
+    w_, h_ = sz * np.sqrt(ar), sz / np.sqrt(ar)
+    rois = jnp.asarray(np.stack([cx - w_ / 2, cy - h_ / 2,
+                                 cx + w_ / 2, cy + h_ / 2], -1), jnp.float32)
+    cot = jnp.asarray(rng.normal(0, 1, (n, 7, 7, 128)), jnp.float32)
+    g_pal = jax.grad(lambda fs: jnp.sum(pallas_multi_scale_roi_align(
+        fs, rois, spatial_scales=scales) * cot))(tuple(feats))
+    g_pts = jax.grad(lambda fs: jnp.sum(multi_scale_roi_align(
+        list(fs), rois, spatial_scales=scales, method="points") * cot))(
+        tuple(feats))
+    for a, b in zip(g_pal, g_pts):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
