@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -140,9 +141,14 @@ def train_model(seed: int, steps: int, batch: int = 4, bank_size: int = 96):
 
 
 def score_pool(variables, pool_imgs, pool_hw, *, rpn_pre, rpn_post,
-               shrink: bool, score_batch: int, key):
-    kw = (dict(rpn_pre_nms_top_n_test=rpn_pre, rpn_post_nms_top_n_test=rpn_post)
-          if rpn_post else {})
+               shrink: bool, score_batch: int, key, alt_key: bool = False):
+    if alt_key:                 # self-noise config: same path, new aug draws
+        key = jax.random.fold_in(key, 9999)
+    kw = {}
+    if rpn_pre:
+        kw["rpn_pre_nms_top_n_test"] = rpn_pre
+    if rpn_post:
+        kw["rpn_post_nms_top_n_test"] = rpn_post
     model = fasterrcnn_resnet50_fpn_feature(NUM_CLASSES, norm="group", **kw)
     fn = make_cald_score_fn(model, CALDConfig(shrink_slice=shrink), NUM_CLASSES)
     cs, corrs = [], []
@@ -177,6 +183,22 @@ def main():
         "fast+slice": dict(rpn_pre=400, rpn_post=256, shrink=True),
         "fast(400/128)": dict(rpn_pre=400, rpn_post=128, shrink=True),
     }
+    if os.environ.get("DEVIATION_CONFIGS") == "mild":
+        # round-4 milder-trim sweep (BASELINE.md reconciliation 4a), with a
+        # SELF-NOISE floor: the reference's own selection depends on the
+        # random aug draws (cald_train.py scores with fresh augs), so
+        # "faithful, different aug key" calibrates how much Jaccard a
+        # BIT-IDENTICAL scoring path loses to re-rolling augs. A trim whose
+        # Jaccard matches the self-noise floor is indistinguishable from an
+        # aug re-roll; the adoption gate is relative to that floor, not to 1.
+        configs = {
+            "faithful": dict(rpn_pre=0, rpn_post=0, shrink=False),
+            "faithful(keyB)": dict(rpn_pre=0, rpn_post=0, shrink=False,
+                                   alt_key=True),
+            "mild(1000/768)": dict(rpn_pre=0, rpn_post=768, shrink=False),
+            "mild(1000/512)": dict(rpn_pre=0, rpn_post=512, shrink=False),
+            "mild(600/384)": dict(rpn_pre=600, rpn_post=384, shrink=False),
+        }
     summary = {k: [] for k in configs if k != "faithful"}
     for seed in range(args.seed_start, args.seeds):
         print(f"== seed {seed} ==", flush=True)
