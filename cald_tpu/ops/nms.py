@@ -25,6 +25,7 @@ Outputs are index arrays plus validity masks; downstream code gathers with them.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -33,7 +34,14 @@ import jax.numpy as jnp
 from cald_tpu.ops.boxes import box_iou
 
 NEG_INF = -1e30
-TILE = 128
+# Suppression tile (candidates per sequential step). Any value is EXACT —
+# round-4 fused-program parity confirmed bit-identical proposals at 128/256/
+# 512 (experiments/profile_rpn.py) — the tile only trades sequential step
+# count against per-step IoU block size. Default 512: measured +3% on the
+# full faithful scoring program at B=8 AND B=32 (28.3->29.2, 28.9->29.7
+# img/s; PERF.md round 4) — fewer latency-bound sequential steps beat the
+# larger per-step IoU blocks at every candidate count the detector uses.
+TILE = int(os.environ.get("CALD_TPU_NMS_TILE", "512"))
 
 
 def _self_suppression(iou: jnp.ndarray, alive0: jnp.ndarray,

@@ -114,11 +114,11 @@ def main():
     t_f = timeit(feats_only, (variables, images)) * 1000 / b
     t_r = timeit(feats_rpn, (variables, images, valid_hw)) * 1000 / b
     # parity spot check: proposals sum should match baseline bit-for-bit for
-    # exact variants (approx_max_k@recall=1.0 and any tile size)
-    py = model.apply(variables, images[:2], method="extract_features")
-    _, _, _, props, pscores, pvalid = model.apply(
-        variables, py, valid_hw[:2], train=False, method="_proposals")
-    chk = float(jnp.sum(props) + jnp.sum(pscores * 1000) + jnp.sum(pvalid))
+    # exact variants (approx_max_k@recall=1.0 and any tile size). Reuses the
+    # already-compiled feats_rpn program — an eager apply would dispatch
+    # per-primitive at ~30 ms each on the remote-exec backend (hours), and a
+    # smaller-shape jit would recompile for minutes.
+    chk = float(feats_rpn(variables, images, valid_hw))
     print(f"variant={variant} B={b}  backbone {t_f:.2f} ms/img  "
           f"+RPN {t_r - t_f:+.2f} ms/img  (total {t_r:.2f})  check={chk:.3f}",
           flush=True)
