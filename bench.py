@@ -9,9 +9,11 @@ scipy JS (~3 img/s on one GPU is the generous estimate recorded in BASELINE.md);
 ``vs_baseline`` is measured-throughput / 3.0.
 
 Usage:
-    python bench.py                     # driver default: reference-faithful
-    python bench.py --fast              # opt-in fast-scoring counts (400/256)
-    python bench.py --model retina
+    python bench.py             # driver default: floor-gated post-NMS 768
+                                # trim for Faster R-CNN (EXPERIMENTS.md r4)
+    python bench.py --faithful  # reference-exact counts (1000/1000)
+    python bench.py --fast      # deeper opt-in fast counts (400/256)
+    python bench.py --model retina      # retina driver default = faithful
     python bench.py -b 16 --rpn-pre 400 --rpn-post 256
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -115,11 +117,22 @@ def main():
                    help="fast-scoring RPN post-NMS top-n (0 = faithful 1000)")
     p.add_argument("--fast", action="store_true",
                    help="shorthand for --rpn-pre 400 --rpn-post 256")
+    p.add_argument("--faithful", action="store_true",
+                   help="force reference-faithful counts (1000/1000), "
+                        "overriding the driver-default 768 trim")
     args = p.parse_args()
     if args.fast and not args.rpn_post:
         args.rpn_pre, args.rpn_post = 400, 256
     batch_size = args.batch_pos if args.batch_pos is not None else args.batch
     model_name = args.model_pos if args.model_pos is not None else args.model
+    explicit_trim = bool(args.rpn_post)
+    if args.faithful:
+        args.rpn_pre = args.rpn_post = 0
+    elif not args.rpn_post and model_name == "faster":
+        # mirror the driver's resolved default (cli/config.py resolve()):
+        # post-NMS 768, the floor-gated trim (EXPERIMENTS.md round 4).
+        # RetinaNet's driver default stays faithful.
+        args.rpn_pre, args.rpn_post = 1000, 768
     try:
         result = run(batch_size=batch_size, iters=args.iters,
                      model_name=model_name, rpn_pre=args.rpn_pre,
@@ -134,7 +147,9 @@ def main():
             raise
     if model_name != "faster":
         result["metric"] += f"_{model_name}"
-    if args.rpn_post:
+    if args.faithful:
+        result["metric"] += "_faithful"
+    elif explicit_trim:
         result["metric"] += "_fast"
     print(json.dumps(result))
 

@@ -49,15 +49,18 @@ class ALConfig:
     aspect_ratio_group_factor: int = 3
     # scoring
     score_batch_size: int = 16
-    # Fast-scoring RPN candidate counts for the pool-scoring model only
-    # (training/eval always keep the reference 1000/1000). 0 = OFF:
-    # reference-faithful scoring, the default. Setting e.g. 400/256 trims the
-    # scoring model's candidates for ~1.7x throughput, but the deviation study
-    # (EXPERIMENTS.md round 3) measured Spearman ~0.77 / selection Jaccard
-    # ~0.33 vs faithful scoring on a 512-image pool — a different selection,
-    # not a faster identical one — so the trim is an explicit opt-in.
+    # RPN candidate counts for the pool-scoring model only (training/eval
+    # always keep the reference 1000/1000). 0 = reference-faithful scoring.
+    # post None = AUTO, resolved per model: Faster R-CNN scores with
+    # post-NMS 768 — the round-4 deviation sweep (EXPERIMENTS.md) measured
+    # that trim's selection shift AT the faithful path's own aug-re-roll
+    # noise floor (Jaccard 0.558 vs floor 0.542; the reference re-rolls augs
+    # every scoring pass, cald_train.py:101-228), for +14% throughput —
+    # while RetinaNet resolves to 0 (its topk trim's fidelity is unmeasured).
+    # Deeper trims (512, 400/256) measured BELOW the floor: explicit opt-in
+    # only. --score-rpn-post-nms 0 restores faithful scoring exactly.
     score_rpn_pre_nms: int = 0
-    score_rpn_post_nms: int = 0
+    score_rpn_post_nms: int | None = None
     # Opt-in: detect shrink-resize augs on a smaller canvas slice (~10% less
     # scoring compute); slightly shifts scores with trained norm biases
     # (EXPERIMENTS.md deviation study).
@@ -112,6 +115,10 @@ class ALConfig:
                 c.budget_num = 500
         if c.pool_cap is None:
             c.pool_cap = 10000 if is_coco else 0   # 0 = whole pool
+        if c.score_rpn_post_nms is None:
+            # floor-gated scoring trim for Faster R-CNN only (see the field
+            # comment + EXPERIMENTS.md round-4 milder-trim sweep)
+            c.score_rpn_post_nms = 0 if "retina" in c.model else 768
         return c
 
     @property
@@ -160,9 +167,13 @@ def make_parser() -> argparse.ArgumentParser:
                                   "trades selection fidelity for speed "
                                   "(EXPERIMENTS.md deviation study)")
     p.add_argument("--score-rpn-post-nms", dest="score_rpn_post_nms",
-                   default=0, type=int,
-                   help="RPN post-NMS proposals for pool scoring; 0 (default)"
-                        " = reference-faithful; e.g. 256 = fast opt-in")
+                   default=None, type=int,
+                   help="RPN post-NMS proposals for pool scoring. Default "
+                        "(unset): 768 for Faster R-CNN — selection shift "
+                        "measured AT the faithful path's own aug-re-roll "
+                        "noise floor (EXPERIMENTS.md round 4) — and "
+                        "faithful for RetinaNet. 0 = reference-faithful; "
+                        "e.g. 256 = deeper fast opt-in (below the floor)")
     p.add_argument("--score-shrink-slice", dest="score_shrink_slice",
                    action="store_true",
                    help="detect shrink-resize augs on a sliced canvas "

@@ -269,12 +269,15 @@ def _detect_host_fn(cfg: ALConfig, model, variables, canvases):
 
 
 def _scoring_model(cfg: ALConfig, model):
-    """OPT-IN fast-scoring variant for the pool pass: smaller candidate
-    counts (capped at the model's own, so tiny/test configs are unchanged).
-    The default (score_rpn_{pre,post}_nms = 0) scores with the reference-
-    faithful model itself; passing e.g. --score-rpn-pre-nms 400
-    --score-rpn-post-nms 256 trades selection fidelity for ~1.7x throughput
-    (the deviation is quantified in EXPERIMENTS.md; PERF.md round 2/3).
+    """Scoring-pass variant with smaller candidate counts (capped at the
+    model's own, so tiny/test configs are unchanged). score_rpn_post_nms = 0
+    scores with the reference-faithful model itself. The resolved Faster
+    R-CNN DEFAULT is post-NMS 768: the round-4 milder-trim sweep
+    (EXPERIMENTS.md) measured its selection shift AT the faithful path's own
+    aug-re-roll self-noise floor (the reference draws fresh augs per scoring
+    pass, cald_train.py:101-228), so it changes the selection no more than
+    the reference's own nondeterminism, for +14% throughput. Deeper trims
+    (512, 400/256) measured below the floor and remain explicit opt-ins.
 
     FRCNN: trims the RPN pre/post-NMS top-n. RetinaNet analog: trims the
     per-level ``topk_candidates`` (reference 1000, retinanet_cal.py:331) to

@@ -45,15 +45,26 @@ class TestConfig:
         assert (cfg.init_num, cfg.budget_num) == (1000, 1000)
 
     def test_scoring_model_variant(self):
-        """Fast-scoring counts are an opt-in (default 0 = reference-faithful,
-        EXPERIMENTS.md deviation study) and apply to the pool-scoring model
-        only, capped at the model's own counts (PERF.md round 2)."""
+        """Scoring counts resolve per model: Faster R-CNN defaults to the
+        floor-gated post-NMS 768 trim (round-4 milder-trim sweep,
+        EXPERIMENTS.md), RetinaNet to reference-faithful; 0 forces faithful.
+        Trims apply to the pool-scoring model only, capped at the model's
+        own counts (PERF.md round 2)."""
         from cald_tpu.cli.driver import _scoring_model, build_model
 
-        # default config = faithful: scoring model is the model itself
+        # faster default = floor-gated 768 trim; pre untouched (1000)
         cfg = ALConfig(model="faster").resolve()
-        assert (cfg.score_rpn_pre_nms, cfg.score_rpn_post_nms) == (0, 0)
+        assert (cfg.score_rpn_pre_nms, cfg.score_rpn_post_nms) == (0, 768)
         model, _ = build_model(cfg, 21)
+        default_scoring = _scoring_model(cfg, model)
+        assert default_scoring.cfg.rpn_post_nms_top_n_test == 768
+        assert default_scoring.cfg.rpn_pre_nms_top_n_test == 1000
+        assert default_scoring.cfg.rpn_post_nms_top_n_train == 2000
+        # retina default = reference-faithful (topk trim fidelity unmeasured)
+        assert ALConfig(model="retina").resolve().score_rpn_post_nms == 0
+        # explicit 0 = reference-faithful: scoring model is the model itself
+        cfg = ALConfig(model="faster", score_rpn_post_nms=0).resolve()
+        assert (cfg.score_rpn_pre_nms, cfg.score_rpn_post_nms) == (0, 0)
         assert _scoring_model(cfg, model) is model
         # opt-in trims the test-time counts; train untouched
         fcfg = ALConfig(model="faster", score_rpn_pre_nms=400,
