@@ -31,13 +31,31 @@ import numpy as np
 from cald_tpu.engine.optim import make_sgd
 from cald_tpu.engine.state import create_train_state
 from cald_tpu.engine.train import make_train_step
-from cald_tpu.models import fasterrcnn_resnet50_fpn_feature
+from cald_tpu.models import (
+    fasterrcnn_resnet50_fpn_feature, retinanet_resnet50_fpn_cal,
+)
 from cald_tpu.strategies import CALDConfig, make_cald_score_fn
 from cald_tpu.strategies.cald import cald_select
 
 CANVAS = (640, 1024)
 VALID = (600, 1000)
 NUM_CLASSES = 21
+MODEL_NAME = "faster"           # set from --model in main()
+
+
+def build_scoring_detector(rpn_pre: int, rpn_post: int):
+    """Detector for one scoring config. For RetinaNet the trim analog is the
+    per-level ``topk_candidates`` (cli/driver.py _scoring_model,
+    /root/reference/detection/retinanet_cal.py:331-333); rpn_pre is unused."""
+    if MODEL_NAME == "retina":
+        kw = {"topk_candidates": rpn_post} if rpn_post else {}
+        return retinanet_resnet50_fpn_cal(NUM_CLASSES, norm="group", **kw)
+    kw = {}
+    if rpn_pre:
+        kw["rpn_pre_nms_top_n_test"] = rpn_pre
+    if rpn_post:
+        kw["rpn_post_nms_top_n_test"] = rpn_post
+    return fasterrcnn_resnet50_fpn_feature(NUM_CLASSES, norm="group", **kw)
 MAX_BOXES = 8
 
 # class-coded base colors (20 fg classes), textured so features are non-flat
@@ -115,7 +133,7 @@ def train_model(seed: int, steps: int, batch: int = 4, bank_size: int = 96):
     study is norm-agnostic."""
     from cald_tpu.engine.schedules import multistep_with_warmup
 
-    model = fasterrcnn_resnet50_fpn_feature(NUM_CLASSES, norm="group")
+    model = build_scoring_detector(0, 0)
     rng = np.random.default_rng(seed)
     t0 = time.time()
     bank = batch_scenes(rng, bank_size)
@@ -144,12 +162,7 @@ def score_pool(variables, pool_imgs, pool_hw, *, rpn_pre, rpn_post,
                shrink: bool, score_batch: int, key, alt_key: bool = False):
     if alt_key:                 # self-noise config: same path, new aug draws
         key = jax.random.fold_in(key, 9999)
-    kw = {}
-    if rpn_pre:
-        kw["rpn_pre_nms_top_n_test"] = rpn_pre
-    if rpn_post:
-        kw["rpn_post_nms_top_n_test"] = rpn_post
-    model = fasterrcnn_resnet50_fpn_feature(NUM_CLASSES, norm="group", **kw)
+    model = build_scoring_detector(rpn_pre, rpn_post)
     fn = make_cald_score_fn(model, CALDConfig(shrink_slice=shrink), NUM_CLASSES)
     cs, corrs = [], []
     for i in range(0, len(pool_imgs), score_batch):
@@ -170,7 +183,10 @@ def main():
     ap.add_argument("--seed-start", type=int, default=0,
                     help="first seed (resume a partial sweep)")
     ap.add_argument("--score-batch", type=int, default=32)
+    ap.add_argument("--model", default="faster", choices=["faster", "retina"])
     args = ap.parse_args()
+    global MODEL_NAME
+    MODEL_NAME = args.model
 
     from scipy.stats import spearmanr
 
@@ -183,7 +199,18 @@ def main():
         "fast+slice": dict(rpn_pre=400, rpn_post=256, shrink=True),
         "fast(400/128)": dict(rpn_pre=400, rpn_post=128, shrink=True),
     }
-    if os.environ.get("DEVIATION_CONFIGS") == "mild":
+    if args.model == "retina":
+        # the retina trim analog (driver --score-rpn-post-nms -> per-level
+        # topk_candidates) with the same self-noise floor protocol as the
+        # round-4 "mild" sweep below; rpn_pre is meaningless for retina
+        configs = {
+            "faithful": dict(rpn_pre=0, rpn_post=0, shrink=False),
+            "faithful(keyB)": dict(rpn_pre=0, rpn_post=0, shrink=False,
+                                   alt_key=True),
+            "topk768": dict(rpn_pre=0, rpn_post=768, shrink=False),
+            "topk512": dict(rpn_pre=0, rpn_post=512, shrink=False),
+        }
+    elif os.environ.get("DEVIATION_CONFIGS") == "mild":
         # round-4 milder-trim sweep (BASELINE.md reconciliation 4a), with a
         # SELF-NOISE floor: the reference's own selection depends on the
         # random aug draws (cald_train.py scores with fresh augs), so
