@@ -35,12 +35,15 @@ REFERENCE_IMG_PER_SEC = 3.0
 def build(batch_size: int, canvas_hw=(640, 1024), num_classes: int = 21,
           model_name: str = "faster", rpn_pre: int = 0, rpn_post: int = 0):
     from cald_tpu.models import (
-        fasterrcnn_resnet50_fpn_feature, retinanet_resnet50_fpn_cal,
+        fasterrcnn_resnet50_fpn_feature, retinanet_mobilenet,
+        retinanet_resnet50_fpn_cal,
     )
     from cald_tpu.strategies import CALDConfig, make_cald_score_fn
 
-    if model_name == "retina":
-        model = retinanet_resnet50_fpn_cal(num_classes)
+    if model_name.startswith("retina"):
+        factory = (retinanet_mobilenet if "mobile" in model_name
+                   else retinanet_resnet50_fpn_cal)
+        model = factory(num_classes)
         if rpn_post:  # the retina fast-scoring analog trims its head counts
             from cald_tpu.cli.config import ALConfig
             from cald_tpu.cli.driver import _scoring_model
@@ -109,7 +112,8 @@ def main():
     p.add_argument("model_pos", nargs="?", default=None,
                    help="legacy positional model name")
     p.add_argument("-b", "--batch", type=int, default=32)
-    p.add_argument("--model", default="faster", choices=["faster", "retina"])
+    p.add_argument("--model", default="faster",
+                   choices=["faster", "retina", "retina_mobilenet"])
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--rpn-pre", type=int, default=0,
                    help="fast-scoring RPN pre-NMS top-n (0 = faithful 1000)")
