@@ -210,6 +210,17 @@ def main():
             "topk768": dict(rpn_pre=0, rpn_post=768, shrink=False),
             "topk512": dict(rpn_pre=0, rpn_post=512, shrink=False),
         }
+    elif os.environ.get("DEVIATION_CONFIGS") == "mild640":
+        # round-4b: the untested trim between 768 (at the floor, adopted) and
+        # 512 (just below, opt-in). 768 repeats on every seed as the direct
+        # same-seed comparator + a reproducibility check of the round-4 rows.
+        configs = {
+            "faithful": dict(rpn_pre=0, rpn_post=0, shrink=False),
+            "faithful(keyB)": dict(rpn_pre=0, rpn_post=0, shrink=False,
+                                   alt_key=True),
+            "mild(1000/768)": dict(rpn_pre=0, rpn_post=768, shrink=False),
+            "mild(1000/640)": dict(rpn_pre=0, rpn_post=640, shrink=False),
+        }
     elif os.environ.get("DEVIATION_CONFIGS") == "mild":
         # round-4 milder-trim sweep (BASELINE.md reconciliation 4a), with a
         # SELF-NOISE floor: the reference's own selection depends on the
