@@ -187,6 +187,11 @@ def main():
     args = ap.parse_args()
     global MODEL_NAME
     MODEL_NAME = args.model
+    if args.model == "retina" and os.environ.get("DEVIATION_CONFIGS"):
+        # the mild/mild640 sweeps are Faster-R-CNN-only; the retina branch
+        # below would silently shadow them (ADVICE r4)
+        raise SystemExit("DEVIATION_CONFIGS only applies to --model faster; "
+                         "--model retina always runs the retina topk sweep")
 
     from scipy.stats import spearmanr
 
