@@ -259,12 +259,34 @@ class FasterRCNN(nn.Module):
 
         b, n = props.shape[:2]
         scales = [1.0 / s for s in cfg.strides[: cfg.roi_levels]]
-        box_feats = jax.vmap(
-            lambda *fs_rois: pool_box_features(fs_rois[:-1], fs_rois[-1], scales,
-                                               inference=True)
-        )(*pyramid[: cfg.roi_levels], props)
-        rep = self.box_head(box_feats.reshape(b * n, -1))
-        class_logits, box_regression = self.box_predictor(rep)
+        import os
+
+        use_flm = (jax.default_backend() in ("tpu", "axon")
+                   and pyramid[0].shape[-1] % 128 == 0
+                   and os.environ.get("CALD_TPU_ROI_FLM", "0") == "1")
+        if use_flm:
+            # full-level-matmul RoI path: rois run in level-sorted slot
+            # order, the head runs on all slots, and the small logits are
+            # gathered back to proposal order (ops/flm_roi_align.py)
+            from cald_tpu.ops.flm_roi_align import flm_multi_scale_roi_align
+
+            pooled, slot = flm_multi_scale_roi_align(
+                list(pyramid[: cfg.roi_levels]), props, pvalid,
+                spatial_scales=scales)
+            nslot = pooled.shape[1]
+            rep = self.box_head(pooled.reshape(b * nslot, -1))
+            class_logits, box_regression = self.box_predictor(rep)
+            gather = lambda t: jnp.take_along_axis(
+                t.reshape(b, nslot, -1), slot[:, :, None], axis=1)
+            class_logits = gather(class_logits)
+            box_regression = gather(box_regression)
+        else:
+            box_feats = jax.vmap(
+                lambda *fs_rois: pool_box_features(
+                    fs_rois[:-1], fs_rois[-1], scales, inference=True)
+            )(*pyramid[: cfg.roi_levels], props)
+            rep = self.box_head(box_feats.reshape(b * n, -1))
+            class_logits, box_regression = self.box_predictor(rep)
 
         if cfg.ssm_mode:
             post = lambda cl, br, p, pv, hw: ssm_postprocess_detections(
