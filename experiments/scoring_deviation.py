@@ -226,6 +226,20 @@ def main():
             "mild(1000/768)": dict(rpn_pre=0, rpn_post=768, shrink=False),
             "mild(1000/640)": dict(rpn_pre=0, rpn_post=640, shrink=False),
         }
+    elif os.environ.get("DEVIATION_CONFIGS") == "shrink":
+        # round-5 (VERDICT r4 item 2): floor-gate the shrink-slice lever —
+        # detect shrink-resize augs on a proportionally sliced canvas
+        # (strategies/cald.py shrink_slice, ~35% fewer FLOPs on that one
+        # forward). Stacked on the adopted post-768 default (its production
+        # configuration) plus slice-only to isolate the effect.
+        configs = {
+            "faithful": dict(rpn_pre=0, rpn_post=0, shrink=False),
+            "faithful(keyB)": dict(rpn_pre=0, rpn_post=0, shrink=False,
+                                   alt_key=True),
+            "faithful+slice": dict(rpn_pre=0, rpn_post=0, shrink=True),
+            "mild(1000/768)": dict(rpn_pre=0, rpn_post=768, shrink=False),
+            "768+slice": dict(rpn_pre=0, rpn_post=768, shrink=True),
+        }
     elif os.environ.get("DEVIATION_CONFIGS") == "mild":
         # round-4 milder-trim sweep (BASELINE.md reconciliation 4a), with a
         # SELF-NOISE floor: the reference's own selection depends on the

@@ -81,19 +81,23 @@ def run(strategy: str, seed: int, tmp: str, *, cycles: int, pool_n: int,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="resume a sweep: run seeds [seed-start, seeds)")
     ap.add_argument("--cycles", type=int, default=3)
     ap.add_argument("--pool", type=int, default=400)
     ap.add_argument("--epochs", type=int, default=14)
     ap.add_argument("--init", type=int, default=50,
                     help="init labeled set (120 + --epochs 16 reproduces the "
                          "mechanism-isolation operating point)")
+    ap.add_argument("--strategies", default="cald,random",
+                    help="comma list; round-5 evidence run adds ll4al")
     args = ap.parse_args()
 
     summary = {}
     with tempfile.TemporaryDirectory() as tmp:
-        for strategy in ("cald", "random"):
+        for strategy in args.strategies.split(","):
             per_seed = []
-            for seed in range(args.seeds):
+            for seed in range(args.seed_start, args.seeds):
                 rows = run(strategy, seed, tmp, cycles=args.cycles,
                            pool_n=args.pool, epochs=args.epochs,
                            init_n=args.init)
@@ -112,6 +116,34 @@ def main():
                               "mean_mAP": round(float(m), 4),
                               "mean_AP50": round(float(a), 4),
                               "mean_hard_frac_selected": round(float(hf), 3)}))
+
+    # seed-level CALD-vs-baseline statistics (VERDICT r4 item 5): per-seed
+    # mAP deltas at each cycle, mean +- a t-based 90% CI, and the exact
+    # binomial sign test over seed-level wins at the final cycle.
+    base_seeds = list(range(args.seed_start, args.seeds))
+    for baseline in summary:
+        if baseline == "cald" or "cald" not in summary:
+            continue
+        print(f"== cald vs {baseline} ==")
+        for c in range(args.cycles):
+            d = np.asarray([summary["cald"][i][c]["mAP"]
+                            - summary[baseline][i][c]["mAP"]
+                            for i in range(len(base_seeds))])
+            n = len(d)
+            mean = d.mean()
+            ci = (1.833 if n == 10 else 2.132 if n == 5 else 2.0) * d.std(
+                ddof=1) / np.sqrt(n) if n > 1 else float("nan")
+            wins = int((d > 0).sum())
+            # exact one-sided sign test P(X >= wins | p=0.5, ties dropped)
+            eff = int((d != 0).sum())
+            from math import comb
+            p_sign = sum(comb(eff, k) for k in range(wins, eff + 1)) / 2 ** eff \
+                if eff else 1.0
+            print(json.dumps({
+                "cycle": c, "delta_mAP_per_seed": [round(float(x), 4) for x in d],
+                "mean_delta": round(float(mean), 4),
+                "ci90_halfwidth": round(float(ci), 4),
+                "wins": f"{wins}/{n}", "sign_test_p": round(p_sign, 4)}))
 
 
 if __name__ == "__main__":

@@ -82,7 +82,8 @@ class TestSingleProcessHelpers:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("strategy", ["cald", "ll4al", "vaal"])
+@pytest.mark.parametrize("strategy", ["cald", "ll4al", "vaal", "ssm", "ltc",
+                                      "lsc"])
 def test_two_process_al_cycle(tmp_path, strategy):
     """REAL 2-process run: coordinator + worker subprocesses each execute a
     full AL cycle (global-mesh DP training, sharded eval/scoring, host-side
@@ -93,7 +94,10 @@ def test_two_process_al_cycle(tmp_path, strategy):
     strategy=ll4al additionally pins the JOINT task+LossNet step on the
     global mesh (round-3: it previously ran N-times replicated); strategy=vaal
     likewise pins the VAE+D adversary steps on the global mesh (round-4: the
-    last process-replicated trainer)."""
+    last process-replicated trainer). ssm/ltc/lsc (round-5, VERDICT item 6)
+    pin the remaining scoring strategies: ssm's host-side paste-and-redetect
+    cross-validation must make identical rng-driven choices on every process,
+    and lsc's 6 noise-level scoring must draw identical noise."""
     import os
     import socket
     import subprocess
