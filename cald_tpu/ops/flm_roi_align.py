@@ -121,7 +121,7 @@ def _slot_plan(lv: jnp.ndarray, valid: jnp.ndarray, num_levels: int, g: int,
 
 
 def _flm_kernel(lvl_ref, dead_ref, *refs, num_levels: int, c: int, g: int,
-                level_hw: tuple, out_size: int, hi_prec: bool):
+                level_hw: tuple, out_size: int, hi_prec: bool, wtile: int):
     """One chunk of g same-level rois: two MXU contractions vs the resident
     level. Dead chunks (level id == num_levels) write one zero block."""
     del dead_ref
@@ -151,43 +151,63 @@ def _flm_kernel(lvl_ref, dead_ref, *refs, num_levels: int, c: int, g: int,
             t = jax.lax.dot_general(wy, x, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32,
                                     precision=prec)      # (g*7, W_l*C)
-            # regroup for the x contraction: (g*7, W_l*C) -> (g*W_l, 7*C)
-            t2 = t.reshape(g, out_size, w_l, c).transpose(0, 2, 1, 3)
-            t2 = t2.reshape(g * w_l, out_size * c)
-            if not hi_prec:
-                t2 = t2.astype(x.dtype)
-            # block-diagonal x weights built in-VMEM (tiny): row block j holds
-            # roi j's (7, W_l) at column offset j*W_l (jnp.pad: zero-width
-            # pads are no-ops, avoiding Mosaic's zero-sized-vector rejection)
-            rows = [jnp.pad(wx[j], ((0, 0), (j * w_l, (g - 1 - j) * w_l)))
-                    for j in range(g)]
-            wxb = jnp.concatenate(rows, axis=0)          # (g*7, g*W_l)
-            out = jax.lax.dot_general(wxb, t2, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=prec)    # (g*7x, 7y*c)
-            out_ref[...] = out.reshape(
-                1, g, out_size, out_size, c).transpose(0, 1, 3, 2, 4)
+            # x contraction, W-TILED: the (g,7,W,C)->(g,W,7,C) regroup is the
+            # Mosaic compile cliff at full width (the round-4 grouped kernel's
+            # identical transpose already failed to compile at g=8, span 56 —
+            # PERF.md), so it runs in W-tiles of `wt` columns, each tile a
+            # small transpose + one block-diagonal dot accumulated into out.
+            wt = min(w_l, wtile)
+            if w_l % wt:
+                wt = w_l                     # non-divisible width: single tile
+            acc = None
+            for ti in range(w_l // wt):
+                tt = t[:, ti * wt * c:(ti + 1) * wt * c]  # (g*7, wt*C)
+                t2 = tt.reshape(g, out_size, wt, c).transpose(0, 2, 1, 3)
+                t2 = t2.reshape(g * wt, out_size * c)
+                if not hi_prec:
+                    t2 = t2.astype(x.dtype)
+                # block-diag x-weight tile: row block j holds roi j's
+                # (7, wt) slice at column offset j*wt (jnp.pad: zero-width
+                # pads are no-ops, dodging Mosaic's zero-sized-vector reject)
+                wxt = wx[:, :, ti * wt:(ti + 1) * wt]
+                rows = [jnp.pad(wxt[j], ((0, 0), (j * wt, (g - 1 - j) * wt)))
+                        for j in range(g)]
+                wxb = jnp.concatenate(rows, axis=0)      # (g*7, g*wt)
+                part = jax.lax.dot_general(
+                    wxb, t2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                      # (g*7x, 7y*c)
+                acc = part if acc is None else acc + part
+            out_ref[...] = acc.reshape(
+                1, g, out_size, out_size, c).transpose(
+                0, 1, 3, 2, 4).astype(out_ref.dtype)
 
 
 def flm_multi_scale_roi_align(feats, rois, valid, *, spatial_scales,
                               output_size: int = 7, sampling_ratio: int = 2,
-                              group: int = 8, hi_prec: bool = False,
-                              interpret: bool = False):
+                              group: int | None = None, wtile: int | None = None,
+                              hi_prec: bool = False, interpret: bool = False):
     """Batched full-level-matmul RoIAlign.
 
     feats: list of (B, H_l, W_l, C) pyramid levels (finest first);
     rois: (B, N, 4) image-space boxes; valid: (B, N) bool.
-    Returns (pooled (B, NSLOT, out, out, C) float32, slot_of_roi (B, N) int32)
+    Returns (pooled (B, NSLOT, out, out, C) in the feature dtype (float32
+    under hi_prec), slot_of_roi (B, N) int32)
     with NSLOT = N rounded up to the slot capacity (N + (L+1)*group). Row
     ``slot_of_roi[b, i]`` of ``pooled[b]`` is roi i's pooled feature; invalid
     rois map to a zero row. Rows not addressed by any roi are unspecified —
     consumers must gather by slot (the box head runs on all slots, outputs
     are gathered back; garbage rows never mix across rows).
     """
+    import os
+
     num_levels = len(feats)
     b, n = rois.shape[:2]
     c = feats[0].shape[-1]
-    g = group
+    g = group if group is not None else int(
+        os.environ.get("CALD_TPU_FLM_G", "4"))
+    wtile = wtile if wtile is not None else int(
+        os.environ.get("CALD_TPU_FLM_WT", "32"))
     s = output_size * sampling_ratio
     k_min = int(round(-math.log2(spatial_scales[0])))
     k_max = int(round(-math.log2(spatial_scales[-1])))
@@ -258,10 +278,14 @@ def flm_multi_scale_roi_align(feats, rois, valid, *, spatial_scales,
     pooled = pl.pallas_call(
         functools.partial(_flm_kernel, num_levels=num_levels, c=c, g=g,
                           level_hw=level_hw, out_size=output_size,
-                          hi_prec=hi_prec),
+                          hi_prec=hi_prec, wtile=wtile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nslot, output_size, output_size, c),
-                                       jnp.float32),
+        # feature dtype (bf16 in the scoring program): the box head casts its
+        # input to the compute dtype anyway, and an f32 pooled buffer at
+        # scoring batch sizes is ~6.7 GB of HBM (f32 only under hi_prec)
+        out_shape=jax.ShapeDtypeStruct(
+            (b, nslot, output_size, output_size, c),
+            jnp.float32 if hi_prec else feats[0].dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,

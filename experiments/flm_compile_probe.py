@@ -22,11 +22,18 @@ import numpy as np
 CONFIGS = {
     # name: (level shapes, c, g, n)
     "small": ([(40, 64), (20, 32)], 128, 4, 32),
+    # single-variable escalations from `small` (compile-time bisection)
+    "smallg8": ([(40, 64), (20, 32)], 128, 8, 32),
+    "smallL4": ([(40, 64), (20, 32), (10, 16), (5, 8)], 128, 4, 32),
+    "smallW128": ([(80, 128), (40, 64)], 128, 4, 32),
+    "smallW256": ([(160, 256), (80, 128)], 128, 4, 32),
+    "smallC256": ([(40, 64), (20, 32)], 256, 4, 32),
     "mid": ([(80, 128), (40, 64), (20, 32), (10, 16)], 128, 8, 64),
     "c256": ([(80, 128), (40, 64), (20, 32), (10, 16)], 256, 8, 64),
     "w256g4": ([(160, 256), (80, 128), (40, 64), (20, 32)], 256, 4, 64),
     "w256g8": ([(160, 256), (80, 128), (40, 64), (20, 32)], 256, 8, 64),
     "full": ([(160, 256), (80, 128), (40, 64), (20, 32)], 256, 8, 1000),
+    "fullg4": ([(160, 256), (80, 128), (40, 64), (20, 32)], 256, 4, 1000),
 }
 
 

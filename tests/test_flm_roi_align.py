@@ -32,8 +32,10 @@ def _rois(rng, b, n, img_wh=(512, 320), ar_max=2.0):
                                 -1), jnp.float32)
 
 
-def _check(feats, scales, rois, valid, *, group=8, atol=1e-5, hi_prec=True,
+def _check(feats, scales, rois, valid, *, group=8, atol=1e-4, hi_prec=True,
            interpret=True):
+    # atol 1e-4: the kernel's W-tiled x-contraction accumulates partial dots
+    # in a different f32 order than the points path's single contraction
     from cald_tpu.ops.flm_roi_align import flm_multi_scale_roi_align
     from cald_tpu.ops.roi_align import multi_scale_roi_align
 
