@@ -159,9 +159,12 @@ def train_model(seed: int, steps: int, batch: int = 4, bank_size: int = 96):
 
 
 def score_pool(variables, pool_imgs, pool_hw, *, rpn_pre, rpn_post,
-               shrink: bool, score_batch: int, key, alt_key: bool = False):
+               shrink: bool, score_batch: int, key, alt_key: bool = False,
+               flm: bool | None = None):
     if alt_key:                 # self-noise config: same path, new aug draws
         key = jax.random.fold_in(key, 9999)
+    if flm is not None:         # full-level-matmul RoI kernel (round 5)
+        os.environ["CALD_TPU_ROI_FLM"] = "1" if flm else "0"
     model = build_scoring_detector(rpn_pre, rpn_post)
     fn = make_cald_score_fn(model, CALDConfig(shrink_slice=shrink), NUM_CLASSES)
     cs, corrs = [], []
@@ -233,12 +236,28 @@ def main():
         # forward). Stacked on the adopted post-768 default (its production
         # configuration) plus slice-only to isolate the effect.
         configs = {
-            "faithful": dict(rpn_pre=0, rpn_post=0, shrink=False),
+            "faithful": dict(rpn_pre=0, rpn_post=0, shrink=False, flm=False),
             "faithful(keyB)": dict(rpn_pre=0, rpn_post=0, shrink=False,
-                                   alt_key=True),
-            "faithful+slice": dict(rpn_pre=0, rpn_post=0, shrink=True),
-            "mild(1000/768)": dict(rpn_pre=0, rpn_post=768, shrink=False),
-            "768+slice": dict(rpn_pre=0, rpn_post=768, shrink=True),
+                                   alt_key=True, flm=False),
+            "faithful+slice": dict(rpn_pre=0, rpn_post=0, shrink=True,
+                                   flm=False),
+            "mild(1000/768)": dict(rpn_pre=0, rpn_post=768, shrink=False,
+                                   flm=False),
+            "768+slice": dict(rpn_pre=0, rpn_post=768, shrink=True, flm=False),
+        }
+    elif os.environ.get("DEVIATION_CONFIGS") == "flm":
+        # round-5: selection fidelity of the full-level-matmul RoI kernel —
+        # bit-different matmul order vs the window kernel flips borderline
+        # NMS survivors (measured: scores to 1e-4, a flipped box jumps), so
+        # gate it like any numerics-shifting lever: against the aug-re-roll
+        # self-noise floor, solo and stacked on the post-768 default.
+        configs = {
+            "faithful": dict(rpn_pre=0, rpn_post=0, shrink=False, flm=False),
+            "faithful(keyB)": dict(rpn_pre=0, rpn_post=0, shrink=False,
+                                   alt_key=True, flm=False),
+            "faithful+flm": dict(rpn_pre=0, rpn_post=0, shrink=False,
+                                 flm=True),
+            "768+flm": dict(rpn_pre=0, rpn_post=768, shrink=False, flm=True),
         }
     elif os.environ.get("DEVIATION_CONFIGS") == "mild":
         # round-4 milder-trim sweep (BASELINE.md reconciliation 4a), with a
