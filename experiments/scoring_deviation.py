@@ -245,6 +245,25 @@ def main():
                                    flm=False),
             "768+slice": dict(rpn_pre=0, rpn_post=768, shrink=True, flm=False),
         }
+    elif os.environ.get("DEVIATION_CONFIGS") == "r5":
+        # round-5 combined gate (VERDICT r4 items 2+3 + flm adoption) — one
+        # sweep, shared per-seed training: post-768 on >=4 seeds, the
+        # shrink-slice lever, and the full-level-matmul RoI kernel, each
+        # judged against the aug-re-roll self-noise floor, solo and stacked
+        # on the adopted post-768 default.
+        configs = {
+            "faithful": dict(rpn_pre=0, rpn_post=0, shrink=False, flm=False),
+            "faithful(keyB)": dict(rpn_pre=0, rpn_post=0, shrink=False,
+                                   alt_key=True, flm=False),
+            "mild(1000/768)": dict(rpn_pre=0, rpn_post=768, shrink=False,
+                                   flm=False),
+            "faithful+flm": dict(rpn_pre=0, rpn_post=0, shrink=False,
+                                 flm=True),
+            "768+flm": dict(rpn_pre=0, rpn_post=768, shrink=False, flm=True),
+            "faithful+slice": dict(rpn_pre=0, rpn_post=0, shrink=True,
+                                   flm=False),
+            "768+slice": dict(rpn_pre=0, rpn_post=768, shrink=True, flm=False),
+        }
     elif os.environ.get("DEVIATION_CONFIGS") == "flm":
         # round-5: selection fidelity of the full-level-matmul RoI kernel —
         # bit-different matmul order vs the window kernel flips borderline
