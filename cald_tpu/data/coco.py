@@ -135,6 +135,42 @@ class CocoDataset:
 
     __getitem__ = record
 
+    def _kept_anns(self, i: int) -> list[dict]:
+        """The annotation dicts surviving _convert_anns' filters, in record
+        box order (non-crowd, non-degenerate)."""
+        im = self.index.images[self.ids[i]]
+        w, h = im["width"], im["height"]
+        kept = []
+        for ann in self.index.anns_by_image[im["id"]]:
+            if ann.get("iscrowd", 0):
+                continue
+            x, y, bw, bh = ann["bbox"]
+            if min(x + bw, w) <= max(x, 0) or min(y + bh, h) <= max(y, 0):
+                continue
+            kept.append(ann)
+        return kept
+
+    def masks_for(self, i: int) -> np.ndarray:
+        """(N, H, W) uint8 instance masks aligned with ``record(i).boxes``
+        (reference coco_utils.py:33-47 / ConvertCocoPolysToMask; decoded on
+        demand — masks are heavy and unused by the AL drivers)."""
+        from cald_tpu.data.masks import convert_coco_poly_to_mask
+
+        im = self.index.images[self.ids[i]]
+        segs = [a.get("segmentation") or [] for a in self._kept_anns(i)]
+        return convert_coco_poly_to_mask(segs, im["height"], im["width"])
+
+    def keypoints_for(self, i: int) -> np.ndarray:
+        """(N, 17, 3) float32 COCO person keypoints aligned with
+        ``record(i).boxes`` (zeros where absent; coco_utils.py:77-81)."""
+        kept = self._kept_anns(i)
+        out = np.zeros((len(kept), 17, 3), np.float32)
+        for j, ann in enumerate(kept):
+            kp = ann.get("keypoints")
+            if kp:
+                out[j] = np.asarray(kp, np.float32).reshape(17, 3)
+        return out
+
     def aspect_ratios(self) -> np.ndarray:
         out = np.empty((len(self),), np.float64)
         for i, img_id in enumerate(self.ids):

@@ -93,6 +93,8 @@ def make_coco(root, num_images=5, hw=(50, 60), num_classes=3, seed=0,
                 "id": ann_id, "image_id": 100 + n,
                 "category_id": cat_ids[int(rng.integers(num_classes))],
                 "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0,
+                # rectangle polygon matching the bbox (mask-API tests)
+                "segmentation": [[x, y, x + bw, y, x + bw, y + bh, x, y + bh]],
             })
             ann_id += 1
     data = {
