@@ -174,7 +174,16 @@ def score_pool(variables, pool_imgs, pool_hw, *, rpn_pre, rpn_post,
                      jax.random.fold_in(key, i))
         cs.append(np.asarray(c))
         corrs.append(np.asarray(corr))
-    return np.concatenate(cs), np.concatenate(corrs, axis=0)
+    out = np.concatenate(cs), np.concatenate(corrs, axis=0)
+    # each config builds + compiles a fresh scoring program; without this the
+    # host leaks ~6 GB/config and a 4-seed x 7-config sweep OOM-kills at
+    # ~122 GB RSS (observed round 5)
+    del fn, model
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
+    return out
 
 
 def main():
