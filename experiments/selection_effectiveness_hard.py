@@ -102,6 +102,15 @@ def main():
                            pool_n=args.pool, epochs=args.epochs,
                            init_n=args.init)
                 per_seed.append(rows)
+                # each run() builds fresh jitted programs; without this a
+                # 3-strategy x 5-seed sweep leaks to a host OOM kill
+                # (observed in the round-5 deviation sweep at 122 GB RSS)
+                import gc
+
+                import jax
+
+                jax.clear_caches()
+                gc.collect()
                 print(json.dumps({"strategy": strategy, "seed": seed,
                                   "rows": rows}), flush=True)
             summary[strategy] = per_seed
