@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -115,11 +116,16 @@ def run(batch_size: int = 32, iters: int = 10, canvas_hw=(640, 1024),
     np.asarray(pending)
     dt = time.perf_counter() - t0
     img_per_sec = batch_size * iters / dt
+    flm_on = (jax.default_backend() in ("tpu", "axon")
+              and os.environ.get("CALD_TPU_ROI_FLM", "1") == "1"
+              and model_name == "faster")
     result = {
         "metric": "cald_pool_scoring_throughput",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
+        "roi_kernel": ("flm" if flm_on else "window") if model_name == "faster"
+                      else "n/a",
     }
     if flops_per_call:
         achieved_tflops = flops_per_call * iters / dt / 1e12
@@ -158,11 +164,9 @@ def main():
     explicit_trim = bool(args.rpn_post)
     if args.faithful:
         args.rpn_pre = args.rpn_post = 0
-    elif not args.rpn_post and model_name == "faster":
-        # mirror the driver's resolved default (cli/config.py resolve()):
-        # post-NMS 768, the floor-gated trim (EXPERIMENTS.md round 4).
-        # RetinaNet's driver default stays faithful.
-        args.rpn_pre, args.rpn_post = 1000, 768
+    # driver default (cli/config.py resolve(), round 5) = reference-faithful
+    # counts for every model: with the flm RoI kernel the post-768 trim is
+    # worth only +2.8%, so faithful IS the default path — no mirror needed
     try:
         result = run(batch_size=batch_size, iters=args.iters,
                      model_name=model_name, rpn_pre=args.rpn_pre,

@@ -116,9 +116,13 @@ class ALConfig:
         if c.pool_cap is None:
             c.pool_cap = 10000 if is_coco else 0   # 0 = whole pool
         if c.score_rpn_post_nms is None:
-            # floor-gated scoring trim for Faster R-CNN only (see the field
-            # comment + EXPERIMENTS.md round-4 milder-trim sweep)
-            c.score_rpn_post_nms = 0 if "retina" in c.model else 768
+            # Reference-faithful counts are the default again (round 5): with
+            # the full-level-matmul RoI kernel the RoI stage no longer scales
+            # with proposal count, so the round-4 floor-gated post-768 trim
+            # buys only +2.8% (48.37 vs 47.04 img/s/chip, PERF.md) — not
+            # worth any deviation. --score-rpn-post-nms 768 restores the
+            # round-4 trimmed default (still at the noise floor, 4 seeds).
+            c.score_rpn_post_nms = 0
         return c
 
     @property

@@ -261,9 +261,14 @@ class FasterRCNN(nn.Module):
         scales = [1.0 / s for s in cfg.strides[: cfg.roi_levels]]
         import os
 
+        # Default ON (round 5): the full-level-matmul RoI path is +59%
+        # end-to-end on faithful scoring (PERF.md) and its selection
+        # deviation sits ABOVE the aug-re-roll self-noise floor on 4/4
+        # seeds (EXPERIMENTS.md round-5 gate). CALD_TPU_ROI_FLM=0 restores
+        # the window-DMA kernel (bit-exact vs round-4 outputs).
         use_flm = (jax.default_backend() in ("tpu", "axon")
                    and pyramid[0].shape[-1] % 128 == 0
-                   and os.environ.get("CALD_TPU_ROI_FLM", "0") == "1")
+                   and os.environ.get("CALD_TPU_ROI_FLM", "1") == "1")
         if use_flm:
             # full-level-matmul RoI path: rois run in level-sorted slot
             # order, the head runs on all slots, and the small logits are

@@ -45,22 +45,25 @@ class TestConfig:
         assert (cfg.init_num, cfg.budget_num) == (1000, 1000)
 
     def test_scoring_model_variant(self):
-        """Scoring counts resolve per model: Faster R-CNN defaults to the
-        floor-gated post-NMS 768 trim (round-4 milder-trim sweep,
-        EXPERIMENTS.md), RetinaNet to reference-faithful; 0 forces faithful.
-        Trims apply to the pool-scoring model only, capped at the model's
-        own counts (PERF.md round 2)."""
+        """Scoring counts resolve to reference-faithful for every model
+        (round 5: with the flm RoI kernel the floor-gated 768 trim buys only
+        +2.8%, PERF.md); opt-in trims apply to the pool-scoring model only,
+        capped at the model's own counts (PERF.md round 2)."""
         from cald_tpu.cli.driver import _scoring_model, build_model
 
-        # faster default = floor-gated 768 trim; pre untouched (1000)
+        # faster default = reference-faithful counts (scoring model IS the
+        # model); the round-4 trim stays one flag away
         cfg = ALConfig(model="faster").resolve()
-        assert (cfg.score_rpn_pre_nms, cfg.score_rpn_post_nms) == (0, 768)
+        assert (cfg.score_rpn_pre_nms, cfg.score_rpn_post_nms) == (0, 0)
         model, _ = build_model(cfg, 21)
-        default_scoring = _scoring_model(cfg, model)
-        assert default_scoring.cfg.rpn_post_nms_top_n_test == 768
-        assert default_scoring.cfg.rpn_pre_nms_top_n_test == 1000
-        assert default_scoring.cfg.rpn_post_nms_top_n_train == 2000
-        # retina default = reference-faithful (topk trim fidelity unmeasured)
+        assert _scoring_model(cfg, model) is model
+        trim = ALConfig(model="faster", score_rpn_post_nms=768).resolve()
+        trim_scoring = _scoring_model(trim, model)
+        assert trim_scoring.cfg.rpn_post_nms_top_n_test == 768
+        assert trim_scoring.cfg.rpn_pre_nms_top_n_test == 1000
+        assert trim_scoring.cfg.rpn_post_nms_top_n_train == 2000
+        # retina default = reference-faithful (topk trim fidelity near-floor
+        # but thin evidence, EXPERIMENTS.md)
         assert ALConfig(model="retina").resolve().score_rpn_post_nms == 0
         # explicit 0 = reference-faithful: scoring model is the model itself
         cfg = ALConfig(model="faster", score_rpn_post_nms=0).resolve()
