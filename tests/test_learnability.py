@@ -23,9 +23,13 @@ def test_tiny_frcnn_learns_colored_boxes(tmp_path):
         tiny=True, norm="group", cycles=1, epochs=30, batch_size=4,
         init_num=32, budget_num=1, score_batch_size=4, workers=4,
         min_size=96, max_size=128, max_boxes=8, print_freq=100000,
-        lr=0.01, lr_steps=(20, 26), aspect_ratio_group_factor=0).resolve()
+        lr=0.005, lr_steps=(20, 26), aspect_ratio_group_factor=0).resolve()
     # 30 epochs measured: per-class AP50 0.97-1.0 (60 epochs adds nothing;
-    # 20 epochs still passes at ~0.91 — margin kept for backend variance)
+    # 20 epochs still passes at ~0.91 — margin kept for backend variance).
+    # lr 0.01 -> 0.005 round 5: the original lr NaN'd at the SAME commit it
+    # was green at in round 4 — an XLA-CPU numerics shift in the image, not
+    # a repo regression (verified via a dd14b61 worktree); the test's claim
+    # (training signal learns a learnable set) is lr-agnostic
     hist = al_loop(cfg, datasets=(ds, ds))
     per_class = hist[0]["eval"]["per_class_ap50"]
     present = {k: v for k, v in per_class.items()
