@@ -156,9 +156,16 @@ def _flm_kernel(lvl_ref, dead_ref, *refs, num_levels: int, c: int, g: int,
             # identical transpose already failed to compile at g=8, span 56 —
             # PERF.md), so it runs in W-tiles of `wt` columns, each tile a
             # small transpose + one block-diagonal dot accumulated into out.
-            wt = min(w_l, wtile)
-            if w_l % wt:
-                wt = w_l                     # non-divisible width: single tile
+            # largest divisor of w_l <= wtile: full-width fallback would
+            # re-open the Mosaic compile cliff on canvases whose level
+            # widths aren't 2^k (COCO 1344 -> 336/168/84/42 all tile at 28/21).
+            # A degenerate divisor (< 8, e.g. prime widths) would unroll the
+            # loop into w_l/wt tiny transposes — worse than the cliff; no
+            # real canvas has one (strides are 4..32 over 32-multiple
+            # canvases), so take the single-tile path there instead.
+            wt = max(d for d in range(1, min(w_l, wtile) + 1) if w_l % d == 0)
+            if wt < 8:
+                wt = w_l
             acc = None
             for ti in range(w_l // wt):
                 tt = t[:, ti * wt * c:(ti + 1) * wt * c]  # (g*7, wt*C)

@@ -115,6 +115,30 @@ def test_parity_single_level_pyramid(rng):
     _check(feats, [1 / 16], rois, jnp.ones((1, 12), bool))
 
 
+def test_parity_coco_canvas_widths(rng):
+    """Non-power-of-two level widths (COCO 800x1344 canvas -> 336/168/84/42):
+    the W-tile must pick a proper divisor (28/28/28/21 at wtile 32), not fall
+    back to the full-width Mosaic compile cliff. Shrunk rows, real widths."""
+    shapes = ((42, 336), (21, 168), (11, 84), (6, 42))
+    feats = [jnp.asarray(rng.normal(0, 1, (1, h, w, 128)), jnp.float32)
+             for h, w in shapes]
+    scales = [0.25 / (2 ** i) for i in range(4)]
+    rois = _rois(rng, 1, 20, img_wh=(1300, 160))
+    _check(feats, scales, rois, jnp.ones((1, 20), bool))
+
+
+def test_wtile_divisor_choice():
+    """The static tile-width rule: largest divisor <= wtile, single-tile
+    fallback below 8 (mirrors the kernel's trace-time computation)."""
+    def pick(w_l, wtile=32):
+        wt = max(d for d in range(1, min(w_l, wtile) + 1) if w_l % d == 0)
+        return w_l if wt < 8 else wt
+
+    assert pick(256) == 32 and pick(336) == 28 and pick(168) == 28
+    assert pick(84) == 28 and pick(42) == 21 and pick(16) == 16
+    assert pick(41) == 41          # prime width: single tile, no 1-wide unroll
+
+
 def test_all_invalid(rng):
     from cald_tpu.ops.flm_roi_align import flm_multi_scale_roi_align
 
