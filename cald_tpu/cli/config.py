@@ -51,13 +51,12 @@ class ALConfig:
     score_batch_size: int = 16
     # RPN candidate counts for the pool-scoring model only (training/eval
     # always keep the reference 1000/1000). 0 = reference-faithful scoring.
-    # post None = AUTO, resolved per model: Faster R-CNN scores with
-    # post-NMS 768 — the round-4 deviation sweep (EXPERIMENTS.md) measured
-    # that trim's selection shift AT the faithful path's own aug-re-roll
-    # noise floor (Jaccard 0.558 vs floor 0.542; the reference re-rolls augs
-    # every scoring pass, cald_train.py:101-228), for +14% throughput —
-    # while RetinaNet resolves to 0 (its topk trim's fidelity is unmeasured).
-    # Deeper trims (512, 400/256) measured BELOW the floor: explicit opt-in
+    # post None = AUTO → 0 for every model since round 5: with the flm RoI
+    # kernel the RoI stage no longer scales with proposal count, so the
+    # round-4 post-768 trim buys only +2.8% (PERF.md) and the default is
+    # reference-exact. 768 remains a floor-validated opt-in (4-seed sweep,
+    # EXPERIMENTS.md: selection shift at the faithful path's own aug-re-roll
+    # noise floor); deeper trims (512, 400/256) measured BELOW the floor
     # only. --score-rpn-post-nms 0 restores faithful scoring exactly.
     score_rpn_pre_nms: int = 0
     score_rpn_post_nms: int | None = None
@@ -173,11 +172,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--score-rpn-post-nms", dest="score_rpn_post_nms",
                    default=None, type=int,
                    help="RPN post-NMS proposals for pool scoring. Default "
-                        "(unset): 768 for Faster R-CNN — selection shift "
-                        "measured AT the faithful path's own aug-re-roll "
-                        "noise floor (EXPERIMENTS.md round 4) — and "
-                        "faithful for RetinaNet. 0 = reference-faithful; "
-                        "e.g. 256 = deeper fast opt-in (below the floor)")
+                        "(unset) = 0 = reference-faithful (round 5: the flm "
+                        "RoI kernel makes trims ~moot, PERF.md). 768 = "
+                        "floor-validated opt-in (+2.8%; EXPERIMENTS.md "
+                        "4-seed sweep); 256 = deeper opt-in (below floor)")
     p.add_argument("--score-shrink-slice", dest="score_shrink_slice",
                    action="store_true",
                    help="detect shrink-resize augs on a sliced canvas "

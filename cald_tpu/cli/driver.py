@@ -271,13 +271,13 @@ def _detect_host_fn(cfg: ALConfig, model, variables, canvases):
 def _scoring_model(cfg: ALConfig, model):
     """Scoring-pass variant with smaller candidate counts (capped at the
     model's own, so tiny/test configs are unchanged). score_rpn_post_nms = 0
-    scores with the reference-faithful model itself. The resolved Faster
-    R-CNN DEFAULT is post-NMS 768: the round-4 milder-trim sweep
-    (EXPERIMENTS.md) measured its selection shift AT the faithful path's own
-    aug-re-roll self-noise floor (the reference draws fresh augs per scoring
-    pass, cald_train.py:101-228), so it changes the selection no more than
-    the reference's own nondeterminism, for +14% throughput. Deeper trims
-    (512, 400/256) measured below the floor and remain explicit opt-ins.
+    (the resolved DEFAULT for every model since round 5) scores with the
+    reference-faithful model itself — the flm RoI kernel removed the
+    proposal-count scaling that motivated trims (PERF.md). post-NMS 768
+    remains a floor-validated opt-in (+2.8%; its selection shift sits AT the
+    faithful path's own aug-re-roll self-noise floor on 4 seeds — the
+    reference draws fresh augs per scoring pass, cald_train.py:101-228);
+    deeper trims (512, 400/256) measured below the floor.
 
     FRCNN: trims the RPN pre/post-NMS top-n. RetinaNet analog: trims the
     per-level ``topk_candidates`` (reference 1000, retinanet_cal.py:331) to
